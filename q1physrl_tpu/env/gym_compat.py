@@ -84,6 +84,10 @@ class VectorPhysEnv:
 
         self._step_fn = functools.partial(
             jax.jit, static_argnums=0)(core.step)
+        # Jit reset too: eager op-by-op dispatch is pathologically slow on
+        # first call (each tiny op compiles separately).
+        self._reset_fn = functools.partial(
+            jax.jit, static_argnums=(0, 2, 3))(core.reset)
         self._state: Optional[core.EnvState] = None
         self.vector_reset()
 
@@ -114,12 +118,13 @@ class VectorPhysEnv:
             self._state.time_remaining))
 
     def vector_reset(self):
-        self._state = core.reset(self._config, self._split(), self.num_envs,
-                                 self._float_dtype)
+        self._state = self._reset_fn(self._config, self._split(),
+                                     self.num_envs, self._float_dtype)
         return self._get_obs()
 
     def reset_at(self, index: int):
-        fresh = core.reset(self._config, self._split(), 1, self._float_dtype)
+        fresh = self._reset_fn(self._config, self._split(), 1,
+                               self._float_dtype)
         put = lambda cur, new, axis=0: jnp.asarray(cur).at[
             (index,) if axis == 0 else (slice(None), index)].set(
                 jnp.asarray(new)[0] if axis == 0 else jnp.asarray(new)[:, 0])

@@ -1,0 +1,171 @@
+"""Training driver CLI — the TPU-native counterpart of the reference's
+``q1physrl_train`` entry point (reference train.py:94-149).
+
+Reads either our native YAML (RunConfig fields) or the reference's
+``data/params.yml`` format (``trainer_class``/``trainer_config``/
+``env_config``), tracks the same stats, checkpoints on new-best or every
+100 iterations, and prints per-iteration stats.
+
+The per-iteration compute is one jitted ``train_iter`` program; the host
+loop only prints/checkpoints.  Multi-device sharding is applied
+transparently when more than one device is visible (see parallel.mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import sys
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..env.config import Config as EnvConfig
+from . import checkpoint as ckpt
+from .config import PPOConfig, RunConfig
+from .ppo import init_train_state, train_iter
+
+__all__ = ("load_run_config", "Trainer", "main")
+
+# Stats tracked for best-checkpointing (reference train.py:67-74).
+STATS_TO_TRACK = (
+    "episode_reward_mean",
+    "episode_reward_max",
+    "zero_start_total_reward_mean",
+)
+STATS_TO_PRINT = STATS_TO_TRACK + ("entropy", "episode_len_mean")
+
+
+def load_run_config(path: str) -> RunConfig:
+    """Load YAML — native RunConfig format or the reference params.yml."""
+    import yaml
+
+    with open(path) as f:
+        params = yaml.safe_load(f)
+
+    if "trainer_class" in params:  # reference format (data/params.yml)
+        tc = dict(params["trainer_config"])
+        env_cfg_d = dict(tc.pop("env_config"))
+        num_workers = tc.pop("num_workers", 1)
+        per_worker_envs = env_cfg_d.pop("num_envs", 100)
+        num_envs = num_workers * per_worker_envs
+        train_batch = tc.pop("train_batch_size", 50000)
+        ppo_kwargs = dict(
+            num_envs=num_envs,
+            rollout_length=max(1, train_batch // num_envs),
+            gamma=tc.pop("gamma", 0.99),
+            lam=tc.pop("lambda", 0.95),
+            kl_target=tc.pop("kl_target", 0.0036),
+            entropy_coeff=tc.pop("entropy_coeff", 0.01),
+            vf_clip_param=tc.pop("vf_clip_param", 100.0),
+            lr=tc.pop("lr", 5e-6),
+        )
+        for k in ("clip_param", "kl_coeff", "num_sgd_iter",
+                  "sgd_minibatch_size"):
+            if k in tc:
+                ppo_kwargs[k] = tc.pop(k)
+        env_cfg_d["num_envs"] = None
+        return RunConfig(
+            env=EnvConfig(**env_cfg_d),
+            ppo=PPOConfig(**ppo_kwargs),
+            checkpoint_fname=params.get("checkpoint_fname"),
+            plot_frequency=params.get("plot_frequency") or 0,
+        )
+
+    env_cfg = EnvConfig(**params.get("env", {}))
+    ppo_cfg = PPOConfig(**params.get("ppo", {}))
+    top = {k: v for k, v in params.items() if k not in ("env", "ppo")}
+    return RunConfig(env=env_cfg, ppo=ppo_cfg, **top)
+
+
+@dataclasses.dataclass
+class _Best:
+    val: float
+    fname: str
+
+
+class Trainer:
+    """Host-side training loop around the jitted train_iter."""
+
+    def __init__(self, run: RunConfig, mesh=None):
+        self.run = run
+        env_cfg = (dataclasses.replace(run.env, num_envs=None)
+                   if run.env.num_envs is not None else run.env)
+        self.env_cfg = env_cfg
+        self.ppo = run.ppo
+        self.ts = init_train_state(jax.random.key(run.seed), env_cfg, self.ppo)
+        self._fn = functools.partial(jax.jit, static_argnums=(0, 1),
+                                     donate_argnums=2)(train_iter)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import shard_train_state
+            self.ts = shard_train_state(self.ts, mesh)
+        if run.checkpoint_fname:
+            self.ts = ckpt.restore_checkpoint(run.checkpoint_fname, self.ts)
+        self.best: dict[str, _Best] = {}
+
+    def step(self):
+        self.ts, metrics = self._fn(self.env_cfg, self.ppo, self.ts)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def maybe_checkpoint(self, i: int, metrics: dict) -> Optional[str]:
+        """Reference checkpoint policy (train.py:119-133): save when any
+        tracked stat beats its best, or every ``checkpoint_every`` iters."""
+        to_save = [k for k in STATS_TO_TRACK
+                   if not math.isnan(metrics.get(k, float("nan")))
+                   and (k not in self.best or metrics[k] > self.best[k].val)]
+        if i % self.run.checkpoint_every == 0 or to_save:
+            fname = ckpt.save_checkpoint(self.run.checkpoint_dir, self.ts, i)
+            for k in to_save:
+                self.best[k] = _Best(metrics[k], fname)
+            return fname
+        return None
+
+    def train(self):
+        i = int(self.ts.iteration)
+        t_start = time.time()
+        while True:
+            t0 = time.time()
+            metrics = self.step()
+            dt = time.time() - t0
+            steps = self.ppo.batch_size
+            print(f"Iteration: {i} "
+                  f"steps/s: {steps / dt:,.0f} "
+                  f"total_steps: {int(self.ts.env_steps):,} Current:",
+                  {k: round(metrics.get(k, float('nan')), 2)
+                   for k in STATS_TO_PRINT}, flush=True)
+            fname = self.maybe_checkpoint(i, metrics)
+            if fname:
+                print("Best:", {k: (round(b.val, 2), b.fname)
+                                for k, b in self.best.items()}, flush=True)
+            i += 1
+            if (self.run.max_iterations is not None
+                    and i >= self.run.max_iterations):
+                break
+            if (self.run.max_env_steps is not None
+                    and float(self.ts.env_steps) >= self.run.max_env_steps):
+                break
+        print(f"Finished {i} iterations in {time.time() - t_start:.0f}s")
+        return self.best
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if argv and argv[0] == "--smoke":
+        import tempfile
+        run = RunConfig(
+            ppo=PPOConfig(num_envs=64, rollout_length=16, num_sgd_iter=2,
+                          sgd_minibatch_size=256),
+            max_iterations=3,
+            checkpoint_dir=tempfile.mkdtemp(prefix="q1_smoke_ckpt_"))
+    else:
+        run = load_run_config(argv[0])
+    trainer = Trainer(run)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

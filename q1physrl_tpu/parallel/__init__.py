@@ -1,0 +1,5 @@
+"""Device-mesh parallelism (SPMD data-parallel actor-learner)."""
+
+from .mesh import DATA_AXIS, make_mesh, shard_env_axis, shard_train_state
+
+__all__ = ("DATA_AXIS", "make_mesh", "shard_env_axis", "shard_train_state")

@@ -1,0 +1,70 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from q1physrl_tpu import env as qenv
+from q1physrl_tpu.algo import PPOConfig, init_train_state, train_iter
+from q1physrl_tpu.parallel import DATA_AXIS, make_mesh, shard_train_state
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_train_iter_runs_and_keeps_placement():
+    mesh = make_mesh(8)
+    env_cfg = dataclasses.replace(qenv.Config.get_default(), num_envs=None)
+    ppo = PPOConfig(num_envs=8 * 16, rollout_length=4, num_sgd_iter=2,
+                    sgd_minibatch_size=128)
+    ts = shard_train_state(init_train_state(jax.random.key(0), env_cfg, ppo),
+                           mesh)
+
+    # Env state really is sharded over the env axis...
+    spec = ts.env_state.yaw.sharding.spec
+    assert tuple(spec) == (DATA_AXIS,)
+    # ...and params replicated.
+    w0 = ts.params["policy"][0][0]
+    assert w0.sharding.is_fully_replicated
+
+    fn = jax.jit(train_iter, static_argnums=(0, 1))
+    ts2, metrics = fn(env_cfg, ppo, ts)
+    assert np.isfinite(float(metrics["entropy"]))
+    # Output placement preserved: params still replicated (grad all-reduce
+    # happened inside), env state still sharded.
+    assert ts2.params["policy"][0][0].sharding.is_fully_replicated
+    assert not ts2.env_state.yaw.sharding.is_fully_replicated
+
+    # A second step composes.
+    ts3, metrics = fn(env_cfg, ppo, ts2)
+    assert np.isfinite(float(metrics["mean_reward"]))
+
+
+def test_sharded_matches_single_device():
+    """Same seed, same program: sharded and unsharded runs agree closely
+    (reduction orders differ, so tolerance not bit-equality)."""
+    env_cfg = dataclasses.replace(qenv.Config.get_default(), num_envs=None)
+    ppo = PPOConfig(num_envs=64, rollout_length=8, num_sgd_iter=2,
+                    sgd_minibatch_size=128)
+    fn = jax.jit(train_iter, static_argnums=(0, 1))
+
+    ts_a = init_train_state(jax.random.key(0), env_cfg, ppo)
+    ts_b = shard_train_state(init_train_state(jax.random.key(0), env_cfg, ppo),
+                             make_mesh(8))
+    _, m_a = fn(env_cfg, ppo, ts_a)
+    _, m_b = fn(env_cfg, ppo, ts_b)
+    for k in ("mean_reward", "entropy", "kl", "vf_loss"):
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-3,
+                                   atol=1e-5)
+
+
+def test_graft_entry():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    logits, value = jax.jit(fn)(*args)
+    assert logits.shape == (8192, 10) and value.shape == (8192,)
+    ge.dryrun_multichip(8)

@@ -38,7 +38,7 @@ from .config import (INITIAL_STATE, INITIAL_YAW_ZERO, MAX_YAW_SPEED, Config,
                      Key, get_obs_scale)
 
 __all__ = ("EnvState", "StepResult", "reset", "step", "step_autoreset",
-           "compute_obs")
+           "compute_obs", "decode_actions")
 
 
 @struct.dataclass
@@ -164,6 +164,17 @@ def _decode(cfg: Config, last_keys, last_key_press_time, yaw, key_actions,
         jump = jnp.zeros(keys.shape[1], dtype=bool)
 
     return keys, new_last_key_press_time, new_yaw, smove, fmove, jump
+
+
+def decode_actions(cfg: Config, state: EnvState, key_actions, yaw_action):
+    """Pure view of the decoded move command for the given state+action —
+    what :func:`step` will send to the physics (yaw, smove, fmove, jump).
+    Mirrors the reference's external-ActionDecoder usage in analysis code
+    (reference analyse.py:215-216).  Does not advance any state."""
+    _, _, yaw, smove, fmove, jump = _decode(
+        cfg, state.last_keys, state.last_key_press_time, state.yaw,
+        key_actions, yaw_action, state.player.vel_z, state.time_remaining)
+    return yaw, smove, fmove, jump
 
 
 def _draw_reset(cfg: Config, key, n: int, float_dtype):

@@ -1,0 +1,221 @@
+"""Demo production — the counterpart of the reference's
+``q1physrl_make_demo`` (reference mkdemo.py).
+
+Two paths:
+
+1. ``export_sim_demo`` (always available): roll the trained policy in the
+   simulated env, integrate horizontal position from velocity, and write a
+   protocol-15 .dem via utils/demfile — no game engine needed.
+
+2. ``make_demo`` (optional): the reference's sim-to-real lockstep loop
+   against a modified quakespasm dedicated server driven over the Quake
+   network protocol via pyquake (reference mkdemo.py:95-149).  The server
+   is launched with ``+sync_movements 1`` so each frame blocks until a move
+   command arrives — deterministic lockstep validation.  Requires
+   ``pyquake`` and a quakespasm binary from the reference's Dockerfile
+   recipe; raises a clear error when unavailable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import sys
+
+import jax
+import numpy as np
+
+from . import analyse, models
+from .env.config import Config
+
+logger = logging.getLogger(__name__)
+
+__all__ = ("export_sim_demo", "make_demo", "main")
+
+# The 100m map player spawn (x, y are arbitrary for the flat-plane sim; z
+# matches the env's initial state).
+SPAWN_ORIGIN = (0.0, 0.0, 32.84320068359375)
+
+# Demo timing correction (reference mkdemo.py:147-149; README.md:121-134):
+# runs recorded the usual way start ~1.356s in, so finish times are
+# reported as finish + (1.3 + 4/72) - t0.
+DEMO_TIME_CORRECTION = 1.3 + 4.0 / 72
+
+
+def trajectory_from_result(r: analyse.EvalSimResult):
+    """Integrate horizontal position from the recorded velocities."""
+    vel = np.stack([np.asarray(r.player_state.vel_x),
+                    np.asarray(r.player_state.vel_y)], axis=1)
+    xy = SPAWN_ORIGIN[:2] + np.cumsum(vel * r.time_delta, axis=0)
+    xy = np.concatenate([[SPAWN_ORIGIN[:2]], xy[:-1]], axis=0)
+    z = np.asarray(r.player_state.z_pos)
+    origins = np.concatenate([xy, z[:, None]], axis=1)
+    times = np.arange(len(z)) * r.time_delta
+    return times, origins, np.asarray(r.yaw)
+
+
+def export_sim_demo(policy, env_config: Config, demo_file_fname: str, *,
+                    seed: int = 0, deterministic: bool = True,
+                    finish_y: float = 3600.0):
+    """Roll out the policy in the sim and write a .dem of the run.
+
+    ``finish_y``: distance along +y treated as the 100m finish line for
+    the intermission marker (the practice map is ~3600 units long).
+    Returns (EvalSimResult, corrected_finish_time | None).
+    """
+    from .utils import demfile
+
+    r = analyse.eval_sim(policy, env_config, seed=seed,
+                         deterministic=deterministic)
+    times, origins, yaws = trajectory_from_result(r)
+    crossed = np.nonzero(origins[:, 1] - SPAWN_ORIGIN[1] >= finish_y)[0]
+    finish_time = float(times[crossed[0]]) if len(crossed) else None
+    demfile.write_demo(demo_file_fname, times, origins, yaws,
+                       finish_time=finish_time)
+    corrected = (finish_time + DEMO_TIME_CORRECTION - times[0]
+                 if finish_time is not None else None)
+    if corrected is not None:
+        logger.info("Corrected finish time: %s s", corrected)
+    return r, corrected
+
+
+def _make_observation(client, time_remaining, config: Config):
+    """Build an observation from live game-client state exactly like the
+    env does (reference mkdemo.py:39-44)."""
+    from .env.config import get_obs_scale
+
+    yaw = 180.0 * client.angles[1] / np.pi
+    vel = np.array(client.velocity)
+    z_pos = client.player_origin[2]
+    obs = np.concatenate([[time_remaining], [yaw], [z_pos], vel])
+    return obs / np.asarray(get_obs_scale(config))
+
+
+async def _eval_coro(config: Config, port, policy_fn, demo_file):
+    """Lockstep eval loop against a +sync_movements quakespasm server
+    (reference mkdemo.py:58-92)."""
+    import pyquake.client
+
+    from .env import core as env_core
+    from .env.config import INITIAL_YAW_ZERO
+    import jax.numpy as jnp
+
+    client = await pyquake.client.AsyncClient.connect("localhost", port)
+    cfg = dataclasses.replace(config, num_envs=None)
+    # Decoder state, driven functionally.
+    state = env_core.reset(cfg, jax.random.key(0), 1)
+    state = state.replace(yaw=jnp.full((1,), float(INITIAL_YAW_ZERO),
+                                       state.yaw.dtype))
+    obs_list, action_list = [], []
+    try:
+        demo = client.record_demo()
+        await client.wait_until_spawn()
+        client.move(*client.angles, 0, 0, 0, 0, 0)
+        await client.wait_for_movement(client.view_entity)
+        start_time = client.time
+        time_remaining = None
+        while time_remaining is None or time_remaining >= 0:
+            time_remaining = cfg.time_limit - (client.time - start_time)
+            obs = _make_observation(client, time_remaining, cfg)
+            obs_list.append(obs)
+            ka, ya = policy_fn(obs[None], None)
+            action_list.append((np.asarray(ka), np.asarray(ya)))
+            # Mirror live client state into the decoder's env state.
+            state = state.replace(
+                time_remaining=jnp.full((1,), time_remaining,
+                                        state.time_remaining.dtype),
+                player=state.player.replace(
+                    vel_z=jnp.full((1,), client.velocity[2], jnp.float32)))
+            yaw, smove, fmove, jump = env_core.decode_actions(
+                cfg, state, jnp.asarray(ka), jnp.asarray(ya))
+            # Advance the decoder latches.
+            state, _ = env_core.step(cfg, state, jnp.asarray(ka),
+                                     jnp.asarray(ya),
+                                     compute_observation=False)
+            buttons = 2 if bool(np.asarray(jump)[0]) else 0
+            client.move(pitch=0, yaw=float(np.asarray(yaw)[0]) * np.pi / 180,
+                        roll=0, forward=int(np.asarray(fmove)[0]),
+                        side=int(np.asarray(smove)[0]), up=0,
+                        buttons=buttons, impulse=0)
+            await client.wait_for_movement(client.view_entity)
+        demo.stop_recording()
+        demo.dump(demo_file)
+    finally:
+        await client.disconnect()
+    return obs_list, action_list
+
+
+async def make_demo(checkpoint_fname, run_yaml, quakespasm_binary_fname,
+                    game_dir, demo_file_fname):
+    """Spawn a lockstep quakespasm server, drive the trained agent through
+    the real engine, record a demo (reference mkdemo.py:95-149)."""
+    import asyncio
+    import signal
+
+    try:
+        import pyquake  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "make_demo requires the real-engine bridge (pyquake + a "
+            "modified quakespasm with +sync_movements; see the reference "
+            "Dockerfile).  Use export_sim_demo for engine-free export."
+        ) from e
+
+    from .algo import checkpoint as ckpt_mod
+    from .algo.ppo import init_train_state
+    from .algo.train import load_run_config
+
+    run = load_run_config(run_yaml)
+    template = init_train_state(jax.random.key(0), run.env, run.ppo)
+    ts = ckpt_mod.restore_checkpoint(checkpoint_fname, template)
+    policy_fn = analyse._policy_from(ts.params, run.env, deterministic=True)
+
+    logger.info("Spawning quakespasm server")
+    proc = await asyncio.create_subprocess_exec(
+        quakespasm_binary_fname,
+        "-protocol", "15",
+        "-dedicated", "1",
+        "-basedir", game_dir,
+        "+host_framerate", str(1.0 / 72),
+        "+sys_ticrate", "0.0",
+        "+sync_movements", "1",
+        "+nomonsters", "1",
+        "+map", "100m")
+    try:
+        with open(demo_file_fname, "wb") as f:
+            await _eval_coro(run.env, 26000, policy_fn, f)
+    finally:
+        proc.send_signal(signal.SIGINT)
+    await proc.wait()
+
+    times, origins, yaws, finish_time = analyse.parse_demo(demo_file_fname)
+    corrected = finish_time + DEMO_TIME_CORRECTION - times[0]
+    logger.info("Corrected finish time: %s s", corrected)
+    return corrected
+
+
+def main(argv=None):
+    """CLI: export a sim demo from a checkpoint.
+
+    usage: q1physrl-tpu-make-demo <run.yaml> <checkpoint_dir_or_path> <out.dem>
+    """
+    logging.basicConfig(level=logging.INFO)
+    argv = argv if argv is not None else sys.argv[1:]
+    run_yaml, ckpt_path, out_dem = argv[:3]
+
+    from .algo import checkpoint as ckpt_mod
+    from .algo.ppo import init_train_state
+    from .algo.train import load_run_config
+
+    run = load_run_config(run_yaml)
+    template = init_train_state(jax.random.key(0), run.env, run.ppo)
+    path = ckpt_mod.latest_checkpoint(ckpt_path) or ckpt_path
+    ts = ckpt_mod.restore_checkpoint(path, template)
+    r, corrected = export_sim_demo(ts.params, run.env, out_dem)
+    total = float(np.asarray(r.reward).sum())
+    print(f"wrote {out_dem}: return={total:.1f} "
+          f"corrected_finish={corrected}")
+
+
+if __name__ == "__main__":
+    main()

@@ -76,8 +76,11 @@ class RunConfig:
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
-    checkpoint_fname: Optional[str] = None   # restore path
+    checkpoint_fname: Optional[str] = None   # explicit restore path
+    auto_resume: bool = True                 # resume from latest checkpoint
     checkpoint_every: int = 100              # iterations (train.py:127)
+    log_dir: Optional[str] = None            # default: <checkpoint_dir>/logs
+    use_wandb: bool = False
     plot_frequency: int = 0                  # 0 = disabled
     max_iterations: Optional[int] = None     # None = run forever
     max_env_steps: Optional[int] = None

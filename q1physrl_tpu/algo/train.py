@@ -103,9 +103,22 @@ class Trainer:
         if mesh is not None:
             from ..parallel.mesh import shard_train_state
             self.ts = shard_train_state(self.ts, mesh)
-        if run.checkpoint_fname:
-            self.ts = ckpt.restore_checkpoint(run.checkpoint_fname, self.ts)
+        restore = run.checkpoint_fname
+        if restore is None and run.auto_resume:
+            # Failure recovery story (SURVEY.md section 5.3): resume from
+            # the latest checkpoint in the run directory automatically.
+            restore = ckpt.latest_checkpoint(run.checkpoint_dir)
+            if restore:
+                print(f"Auto-resuming from {restore}", flush=True)
+        if restore:
+            self.ts = ckpt.restore_checkpoint(restore, self.ts)
         self.best: dict[str, _Best] = {}
+        from ..utils.metrics_io import MetricsWriter
+
+        self.metrics_writer = MetricsWriter(
+            run.log_dir or f"{run.checkpoint_dir}/logs",
+            use_wandb=run.use_wandb,
+            wandb_config=dataclasses.asdict(run))
 
     def step(self):
         self.ts, metrics = self._fn(self.env_cfg, self.ppo, self.ts)
@@ -124,6 +137,28 @@ class Trainer:
             return fname
         return None
 
+    def record_plot(self, i: int):
+        """Periodic wish-angle plot (reference train.py:136-147), saved to
+        the log dir (and wandb when enabled)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from .. import analyse
+
+        t0 = time.time()
+        r = analyse.eval_sim(jax.device_get(self.ts.params), self.env_cfg)
+        r.wish_angle_yaw_plot()
+        out = f"{self.run.log_dir or self.run.checkpoint_dir + '/logs'}"
+        path = f"{out}/wish_angle_{i:07d}.png"
+        plt.savefig(path)
+        if self.metrics_writer._wandb is not None:
+            self.metrics_writer._wandb.log({"chart": plt})
+        plt.close()
+        print(f"Took {time.time() - t0:.1f} seconds to record plot "
+              f"({path})", flush=True)
+
     def train(self):
         i = int(self.ts.iteration)
         t_start = time.time()
@@ -137,10 +172,15 @@ class Trainer:
                   f"total_steps: {int(self.ts.env_steps):,} Current:",
                   {k: round(metrics.get(k, float('nan')), 2)
                    for k in STATS_TO_PRINT}, flush=True)
+            self.metrics_writer.write(
+                int(self.ts.env_steps),
+                {**metrics, "iteration": i, "steps_per_sec": steps / dt})
             fname = self.maybe_checkpoint(i, metrics)
             if fname:
                 print("Best:", {k: (round(b.val, 2), b.fname)
                                 for k, b in self.best.items()}, flush=True)
+            if self.run.plot_frequency and i % self.run.plot_frequency == 0:
+                self.record_plot(i)
             i += 1
             if (self.run.max_iterations is not None
                     and i >= self.run.max_iterations):

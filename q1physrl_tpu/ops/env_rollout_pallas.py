@@ -1,0 +1,346 @@
+"""Pallas TPU kernel: fused multi-step env rollout with VMEM-resident state.
+
+The XLA path (lax.scan over ``core.step``) round-trips the full env state
+through HBM every frame, which makes large-batch rollouts HBM-bandwidth
+bound.  This kernel keeps a block of env state resident in VMEM for all T
+frames and streams only the per-step inputs/outputs, approaching the
+compute (VPU) bound instead.
+
+Structure: grid = (env_blocks, T), iterated row-major, so each env block
+runs its full T-frame loop back to back; the state lives in the *output*
+refs, whose block index depends only on the env-block coordinate — Pallas
+keeps such revisited blocks in VMEM across consecutive grid steps and
+writes them back once.  Per-step action inputs are indexed by the T
+coordinate, so the Pallas pipeline double-buffers their HBM->VMEM DMA
+automatically.
+
+Two variants:
+
+- :func:`rollout_actions` — actions streamed from HBM; no auto-reset.
+  Semantically identical to scanning ``core.step`` (used for parity tests
+  and for policy-scripted replays).
+- :func:`rollout_random` — actions drawn in-kernel via the TPU PRNG, with
+  in-kernel episode auto-reset; state never leaves VMEM and only per-step
+  per-block reward/done sums are written.  This is the speed-of-light
+  configuration used by the benchmark.
+
+State layout: every (N,) leaf is reshaped to (NB, R, 128) float32/int32
+blocks (R = block_envs/128 sublanes x 128 lanes — native f32 tiling);
+boolean flags travel as int32 and convert at the kernel edge.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import phys
+from ..env import core as env_core
+from ..env.config import Config
+
+__all__ = ("rollout_actions", "rollout_random", "blockify_state",
+           "unblockify_state")
+
+LANES = 128
+
+
+class _Blocked(NamedTuple):
+    """EnvState leaves in (NB, R, 128) / (K, NB, R, 128) block layout."""
+
+    z_pos: jnp.ndarray
+    vel_x: jnp.ndarray
+    vel_y: jnp.ndarray
+    vel_z: jnp.ndarray
+    on_ground: jnp.ndarray       # int32
+    jump_released: jnp.ndarray   # int32
+    yaw: jnp.ndarray
+    time_remaining: jnp.ndarray
+    zero_start: jnp.ndarray      # int32
+    last_keys: jnp.ndarray       # (K, NB, R, 128) int32
+    last_key_press_time: jnp.ndarray
+
+
+def blockify_state(state: env_core.EnvState, block_envs: int) -> _Blocked:
+    n = state.num_envs
+    assert block_envs % LANES == 0 and n % block_envs == 0, (n, block_envs)
+    r = block_envs // LANES
+    nb = n // block_envs
+    shp = lambda x: jnp.asarray(x, jnp.float32).reshape(nb, r, LANES)
+    shpi = lambda x: jnp.asarray(x, jnp.int32).reshape(nb, r, LANES)
+    k = state.last_keys.shape[0]
+    return _Blocked(
+        z_pos=shp(state.player.z_pos),
+        vel_x=shp(state.player.vel_x),
+        vel_y=shp(state.player.vel_y),
+        vel_z=shp(state.player.vel_z),
+        on_ground=shpi(state.player.on_ground),
+        jump_released=shpi(state.player.jump_released),
+        yaw=shp(state.yaw),
+        time_remaining=shp(state.time_remaining),
+        zero_start=shpi(state.zero_start),
+        last_keys=jnp.asarray(state.last_keys, jnp.int32).reshape(
+            k, nb, r, LANES),
+        last_key_press_time=jnp.asarray(
+            state.last_key_press_time, jnp.float32).reshape(k, nb, r, LANES),
+    )
+
+
+def unblockify_state(b: _Blocked, rng) -> env_core.EnvState:
+    n = b.z_pos.size
+    k = b.last_keys.shape[0]
+    flat = lambda x: x.reshape(n)
+    return env_core.EnvState(
+        player=phys.PlayerState(
+            z_pos=flat(b.z_pos), vel_x=flat(b.vel_x), vel_y=flat(b.vel_y),
+            vel_z=flat(b.vel_z), on_ground=flat(b.on_ground) > 0,
+            jump_released=flat(b.jump_released) > 0),
+        yaw=flat(b.yaw), time_remaining=flat(b.time_remaining),
+        zero_start=flat(b.zero_start) > 0,
+        last_keys=b.last_keys.reshape(k, n),
+        last_key_press_time=b.last_key_press_time.reshape(k, n),
+        rng=rng)
+
+
+def _state_from_refs(refs, idx=...):
+    """Build an EnvState view (bools decoded) from kernel refs."""
+    return env_core.EnvState(
+        player=phys.PlayerState(
+            z_pos=refs.z_pos[idx], vel_x=refs.vel_x[idx],
+            vel_y=refs.vel_y[idx], vel_z=refs.vel_z[idx],
+            on_ground=refs.on_ground[idx] > 0,
+            jump_released=refs.jump_released[idx] > 0),
+        yaw=refs.yaw[idx], time_remaining=refs.time_remaining[idx],
+        zero_start=refs.zero_start[idx] > 0,
+        last_keys=refs.last_keys[idx],
+        last_key_press_time=refs.last_key_press_time[idx],
+        rng=None)
+
+
+def _write_state(refs, st: env_core.EnvState, idx=...):
+    refs.z_pos[idx] = st.player.z_pos
+    refs.vel_x[idx] = st.player.vel_x
+    refs.vel_y[idx] = st.player.vel_y
+    refs.vel_z[idx] = st.player.vel_z
+    refs.on_ground[idx] = st.player.on_ground.astype(jnp.int32)
+    refs.jump_released[idx] = st.player.jump_released.astype(jnp.int32)
+    refs.yaw[idx] = st.yaw
+    refs.time_remaining[idx] = st.time_remaining
+    refs.zero_start[idx] = st.zero_start.astype(jnp.int32)
+    refs.last_keys[idx] = st.last_keys
+    refs.last_key_press_time[idx] = st.last_key_press_time
+
+
+_N_STATE = 11  # fields in _Blocked
+
+
+def _copy_init(in_refs: _Blocked, out_refs: _Blocked):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for src, dst in zip(in_refs, out_refs):
+            dst[...] = src[...]
+
+
+def rollout_actions(cfg: Config, state: env_core.EnvState, key_actions,
+                    yaw_actions, *, block_envs: int = 1024,
+                    interpret: bool = False):
+    """Fused T-step rollout with actions streamed from HBM (no auto-reset).
+
+    Args:
+        key_actions: (T, K, N) int32.
+        yaw_actions: (T, N) float32.
+
+    Returns: (EnvState, rewards (T, N), dones (T, N) bool) — matching a
+    ``lax.scan`` of ``core.step`` with ``compute_observation=False``.
+    """
+    n = state.num_envs
+    t_steps, k = key_actions.shape[0], key_actions.shape[1]
+    r = block_envs // LANES
+    nb = n // block_envs
+    b = blockify_state(state, block_envs)
+    ka = jnp.asarray(key_actions, jnp.int32).reshape(t_steps, k, nb, r, LANES)
+    ya = jnp.asarray(yaw_actions, jnp.float32).reshape(t_steps, nb, r, LANES)
+
+    def kernel(*refs):
+        in_refs = _Blocked(*refs[:_N_STATE])
+        ka_ref, ya_ref = refs[_N_STATE:_N_STATE + 2]
+        out_refs = _Blocked(*refs[_N_STATE + 2:2 * _N_STATE + 2])
+        reward_ref, done_ref = refs[2 * _N_STATE + 2:]
+
+        _copy_init(in_refs, out_refs)
+        st = _state_from_refs(out_refs)
+        st2, out = env_core.step(cfg, st, ka_ref[0], ya_ref[0],
+                                 compute_observation=False)
+        _write_state(out_refs, st2)
+        reward_ref[0] = out.reward
+        done_ref[0] = out.done.astype(jnp.int32)
+
+    state_spec = pl.BlockSpec((1, r, LANES), lambda i, t: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    keyed_spec = pl.BlockSpec((k, 1, r, LANES), lambda i, t: (0, i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    specs = [state_spec] * 9 + [keyed_spec, keyed_spec]
+    ka_spec = pl.BlockSpec((1, k, 1, r, LANES), lambda i, t: (t, 0, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ya_spec = pl.BlockSpec((1, 1, r, LANES), lambda i, t: (t, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    step_out_spec = pl.BlockSpec((1, 1, r, LANES), lambda i, t: (t, i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in b)
+        + (jax.ShapeDtypeStruct((t_steps, nb, r, LANES), jnp.float32),
+           jax.ShapeDtypeStruct((t_steps, nb, r, LANES), jnp.int32)))
+    out_specs = tuple(specs) + (step_out_spec, step_out_spec)
+
+    # NB: state blocks are squeezed to (r, LANES) inside the kernel via the
+    # leading block dim of size 1; Pallas keeps dims — index [...] works on
+    # the (1, r, LANES) view, so env arrays carry a leading 1 that
+    # broadcasts harmlessly through the elementwise step.
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, t_steps),
+        in_specs=specs + [ka_spec, ya_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*b, ka, ya)
+
+    new_b = _Blocked(*outs[:_N_STATE])
+    rewards = outs[_N_STATE].reshape(t_steps, n)
+    dones = outs[_N_STATE + 1].reshape(t_steps, n) > 0
+    return unblockify_state(new_b, state.rng), rewards, dones
+
+
+def _uniform_from_bits(bits):
+    """uint32 random bits -> float32 uniform [0, 1)."""
+    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def rollout_random(cfg: Config, state: env_core.EnvState, t_steps: int,
+                   seed: int = 0, *, block_envs: int = 65536,
+                   interpret: bool = False):
+    """Fused T-step rollout with in-kernel random actions and in-kernel
+    episode auto-reset — zero HBM traffic per step.
+
+    Each grid cell owns one env block: state is read once, advanced T
+    frames in a ``fori_loop`` with actions and reset draws generated by the
+    TPU PRNG (``pltpu.prng_random_bits``), and written back once together
+    with per-block reward/done totals.  This is the speed-of-light
+    benchmark configuration; semantics match ``step_autoreset`` with a
+    Bernoulli(0.5)-keys/uniform-mouse policy up to PRNG stream identity.
+
+    Returns (EnvState, reward_sum (N,), done_count ()).
+    """
+    n = state.num_envs
+    r = block_envs // LANES
+    nb = n // block_envs
+    b = blockify_state(state, block_envs)
+    nk = cfg.num_keys
+
+    def kernel(*refs):
+        in_refs = _Blocked(*refs[:_N_STATE])
+        out_refs = _Blocked(*refs[_N_STATE:2 * _N_STATE])
+        reward_ref, done_ref = refs[2 * _N_STATE:]
+        i = pl.program_id(0)
+        pltpu.prng_seed(seed + i)
+
+        init = tuple(ref[...] for ref in in_refs) + (
+            jnp.zeros((1, r, LANES), jnp.float32),
+            jnp.zeros((1, r, LANES), jnp.float32),
+        )
+
+        def body(_, carry):
+            st_leaves = carry[:_N_STATE]
+            reward_acc, done_acc = carry[_N_STATE:]
+            blk = _Blocked(*st_leaves)
+            st = env_core.EnvState(
+                player=phys.PlayerState(
+                    z_pos=blk.z_pos, vel_x=blk.vel_x, vel_y=blk.vel_y,
+                    vel_z=blk.vel_z, on_ground=blk.on_ground > 0,
+                    jump_released=blk.jump_released > 0),
+                yaw=blk.yaw, time_remaining=blk.time_remaining,
+                zero_start=blk.zero_start > 0, last_keys=blk.last_keys,
+                last_key_press_time=blk.last_key_press_time, rng=None)
+
+            shape = st.yaw.shape
+            kbits = pltpu.prng_random_bits(shape)
+            ka = jnp.stack([((kbits >> k) & 1).astype(jnp.int32)
+                            for k in range(nk)], axis=0)
+            ya = (_uniform_from_bits(pltpu.prng_random_bits(shape)) * 2.0
+                  - 1.0) * cfg.action_range
+
+            st2, out = env_core.step(cfg, st, ka, ya,
+                                     compute_observation=False)
+
+            # In-kernel auto-reset (mirrors core._draw_reset semantics,
+            # including the uniform(low=x, high=1) quirk).
+            u = lambda: _uniform_from_bits(pltpu.prng_random_bits(shape))
+            zs = u() < cfg.zero_start_prob
+            lo, hi = cfg.initial_yaw_range
+            f_yaw = jnp.where(zs, env_core.INITIAL_YAW_ZERO,
+                              lo + (hi - lo) * u())
+            f_time = jnp.where(zs, cfg.time_limit,
+                               cfg.time_limit + (1.0 - cfg.time_limit) * u())
+            speed = jnp.where(zs, 0.0,
+                              cfg.max_initial_speed
+                              + (1.0 - cfg.max_initial_speed) * u())
+            angle = 2 * jnp.pi + (1.0 - 2 * jnp.pi) * u()
+            if cfg.hover:
+                speed = jnp.full(shape, 320.0, jnp.float32)
+                angle = jnp.full(shape, jnp.pi / 2, jnp.float32)
+            d = out.done
+            m = lambda fresh, cur: jnp.where(d, fresh, cur)
+            z0 = env_core.INITIAL_STATE["z_pos"]
+            merged = _Blocked(
+                z_pos=m(jnp.float32(z0), st2.player.z_pos),
+                vel_x=m(speed * jnp.cos(angle), st2.player.vel_x),
+                vel_y=m(speed * jnp.sin(angle), st2.player.vel_y),
+                vel_z=m(jnp.float32(-12.0), st2.player.vel_z),
+                on_ground=m(0, st2.player.on_ground.astype(jnp.int32)),
+                jump_released=m(1, st2.player.jump_released.astype(jnp.int32)),
+                yaw=m(f_yaw, st2.yaw),
+                time_remaining=m(f_time, st2.time_remaining),
+                zero_start=m(zs.astype(jnp.int32),
+                             st2.zero_start.astype(jnp.int32)),
+                last_keys=jnp.where(d, 0, st2.last_keys),
+                last_key_press_time=jnp.where(
+                    d, -cfg.key_press_delay, st2.last_key_press_time),
+            )
+            return tuple(merged) + (reward_acc + out.reward,
+                                    done_acc + d.astype(jnp.float32))
+
+        final = jax.lax.fori_loop(0, t_steps, body, init)
+        for ref, val in zip(out_refs, final[:_N_STATE]):
+            ref[...] = val
+        reward_ref[...] = final[_N_STATE]
+        done_ref[...] = final[_N_STATE + 1]
+
+    state_spec = pl.BlockSpec((1, r, LANES), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    keyed_spec = pl.BlockSpec((nk, 1, r, LANES), lambda i: (0, i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    specs = [state_spec] * 9 + [keyed_spec, keyed_spec]
+    out_shapes = (
+        tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in b)
+        + (jax.ShapeDtypeStruct((nb, r, LANES), jnp.float32),
+           jax.ShapeDtypeStruct((nb, r, LANES), jnp.float32)))
+    out_specs = tuple(specs) + (state_spec, state_spec)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*b)
+
+    new_b = _Blocked(*outs[:_N_STATE])
+    reward_sum = outs[_N_STATE].reshape(n)
+    done_count = outs[_N_STATE + 1].reshape(n).sum()
+    return unblockify_state(new_b, state.rng), reward_sum, done_count

@@ -36,7 +36,8 @@ STATS_TO_TRACK = (
     "episode_reward_max",
     "zero_start_total_reward_mean",
 )
-STATS_TO_PRINT = STATS_TO_TRACK + ("entropy", "episode_len_mean")
+STATS_TO_PRINT = STATS_TO_TRACK + ("entropy", "episode_len_mean", "kl",
+                                   "kl_coeff", "vf_explained_var")
 
 
 def load_run_config(path: str) -> RunConfig:

@@ -25,8 +25,8 @@ from . import models, phys
 from .env import core as env_core
 from .env.config import Config, Key
 
-__all__ = ("EvalSimResult", "eval_sim", "parse_demo", "draw_inputs",
-           "plot_all_checkpoints")
+__all__ = ("EvalSimResult", "eval_sim", "eval_zero_start", "parse_demo",
+           "draw_inputs", "plot_all_checkpoints")
 
 
 def parse_demo(fname):
@@ -197,6 +197,42 @@ def eval_sim(policy, env_config: Config, *, seed: int = 0,
         fmove=cut(fmove),
         jump=cut(jump),
     )
+
+
+def eval_zero_start(policy, env_config: Config, *, num_episodes: int = 512,
+                    deterministic: bool = False, seed: int = 0) -> dict:
+    """Batch-evaluate zero-start performance: the proper, low-variance
+    measurement of the training north-star (the per-iteration
+    ``zero_start_total_reward_mean`` sees only ~batch*1% episodes).
+
+    Runs ``num_episodes`` full zero-start episodes in lockstep under one
+    jitted scan and returns summary stats.
+    """
+    cfg = dataclasses.replace(env_config, num_envs=None, zero_start_prob=1.0)
+    policy_fn = _policy_from(policy, cfg, deterministic)
+    n = num_episodes
+    steps = int(np.ceil(cfg.time_limit / cfg.time_delta)) + 2
+
+    def body(carry, _):
+        st, rng, ret, alive = carry
+        obs = env_core.compute_obs(cfg, st.player, st.yaw, st.time_remaining)
+        rng, k = jax.random.split(rng)
+        ka, ya = policy_fn(obs, k)
+        st, out = env_core.step(cfg, st, ka, ya, compute_observation=False)
+        ret = ret + out.reward * alive
+        alive = alive & ~out.done
+        return (st, rng, ret, alive), None
+
+    state = env_core.reset(cfg, jax.random.key(seed), n)
+    init = (state, jax.random.key(seed + 1), jnp.zeros(n), jnp.ones(n, bool))
+    (_, _, ret, _), _ = jax.jit(
+        lambda c: jax.lax.scan(body, c, None, length=steps))(init)
+    ret = np.asarray(ret)
+    return {
+        "mean": float(ret.mean()), "median": float(np.median(ret)),
+        "std": float(ret.std()), "min": float(ret.min()),
+        "max": float(ret.max()), "num_episodes": n,
+    }
 
 
 def _draw_arrow(im, pos, vec, width, head_size, color, xform):

@@ -142,3 +142,11 @@ def test_draw_inputs_runs():
     analyse.draw_inputs(im, {qenv.Key.FORWARD: True, qenv.Key.STRAFE_LEFT: False,
                              qenv.Key.STRAFE_RIGHT: True}, 90.0, np.eye(3))
     assert im[:, :, :3].max() > 0
+
+
+def test_eval_zero_start_stats():
+    cfg = PARAMS_CFG
+    params = models.init_params(jnp_key(2), cfg)
+    stats = analyse.eval_zero_start(params, cfg, num_episodes=8)
+    assert stats["num_episodes"] == 8
+    assert np.isfinite(stats["mean"]) and stats["min"] <= stats["median"] <= stats["max"]

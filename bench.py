@@ -43,7 +43,8 @@ def make_rollout(cfg, n, t):
         state, sums = jax.lax.scan(body, state, jnp.arange(t))
         return state, jax.tree.map(jnp.sum, sums)
 
-    return jax.jit(run, donate_argnums=0)
+    # NB: no buffer donation — _measure reuses the same input state.
+    return jax.jit(run)
 
 
 def _measure(run, state, n, t, reps, label):

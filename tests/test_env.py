@@ -234,3 +234,18 @@ def test_zero_start_obs_value():
                          0.0, 0.0, 0.0]) / scale
     np.testing.assert_allclose(obs[0], expected, atol=1e-12)
     np.testing.assert_allclose(obs[1], expected, atol=1e-12)
+
+
+def test_gymnasium_registration():
+    import gymnasium
+
+    e = gymnasium.make("Q1PhysEnv-v0")
+    obs, info = e.reset(seed=0)
+    assert obs.shape == (6,)
+    total = 0.0
+    for _ in range(30):
+        obs, r, terminated, truncated, info = e.step(
+            [1, 0, 1, 0, np.array([0.5], np.float32)])
+        total += r
+        assert not terminated
+    assert np.isfinite(total)

@@ -165,3 +165,17 @@ def test_wr_checkpoint_reproduces_reference_performance():
     # Stochastic eval (matching how the metric was collected in training).
     assert ret.mean() > 5000, ret
     assert ret.max() < 7500, ret
+
+
+def test_rllib_export_import_roundtrip(tmp_path):
+    cfg = qenv.Config.get_default()
+    params = models.init_params(jax.random.key(5), cfg)
+    from q1physrl_tpu.models.export_rllib import export_policy_params
+
+    path = str(tmp_path / "checkpoint")
+    export_policy_params(params, path, iteration=7, timesteps_total=12345)
+    back = models.import_policy_params(path)
+    for tower in ("policy", "value"):
+        for (w0, b0), (w1, b1) in zip(params[tower], back[tower]):
+            np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+            np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))

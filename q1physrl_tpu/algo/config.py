@@ -42,6 +42,17 @@ class PPOConfig:
     num_sgd_iter: int = 30
     sgd_minibatch_size: int = 128
     grad_clip: Optional[float] = None
+    # Piecewise-linear schedules over env steps, as ((step, value), ...) —
+    # RLLib's lr_schedule / entropy_coeff_schedule knobs.  None = constant.
+    lr_schedule: Optional[tuple] = None
+    entropy_coeff_schedule: Optional[tuple] = None
+
+    def __post_init__(self):
+        for f in ("lr_schedule", "entropy_coeff_schedule"):
+            v = getattr(self, f)
+            if isinstance(v, list):  # YAML gives lists; keep hashable
+                object.__setattr__(self, f,
+                                   tuple(tuple(p) for p in v))
 
     @property
     def batch_size(self) -> int:

@@ -102,8 +102,24 @@ class Batch(NamedTuple):
     value_target: jnp.ndarray    # (B,)
 
 
+def _interp_schedule(schedule, x):
+    """Piecewise-linear schedule ((x0, v0), (x1, v1), ...) -> value at x."""
+    xs = jnp.asarray([p[0] for p in schedule], jnp.float32)
+    ys = jnp.asarray([p[1] for p in schedule], jnp.float32)
+    return jnp.interp(jnp.asarray(x, jnp.float32), xs, ys)
+
+
 def make_optimizer(ppo: PPOConfig):
-    tx = optax.adam(ppo.lr, eps=1e-8)  # TF AdamOptimizer defaults
+    if ppo.lr_schedule is not None:
+        # Optimizer step count -> env steps (each train_iter does
+        # num_sgd_iter * num_minibatches updates per batch_size env steps).
+        upd_per_iter = ppo.num_sgd_iter * ppo.num_minibatches
+        env_per_update = ppo.batch_size / upd_per_iter
+        lr = lambda count: _interp_schedule(ppo.lr_schedule,
+                                            count * env_per_update)
+    else:
+        lr = ppo.lr
+    tx = optax.adam(lr, eps=1e-8)  # TF AdamOptimizer defaults
     if ppo.grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(ppo.grad_clip), tx)
     return tx
@@ -177,8 +193,10 @@ def compute_gae(ppo: PPOConfig, reward, done, value, bootstrap_value):
 
 
 def ppo_loss(env_cfg: EnvConfig, ppo: PPOConfig, params, batch: Batch,
-             kl_coeff):
+             kl_coeff, entropy_coeff=None):
     """RLLib 0.8.4 PPOLoss (ppo_tf_policy.py), faithfully."""
+    if entropy_coeff is None:
+        entropy_coeff = ppo.entropy_coeff
     logits, value = models.forward(params, batch.obs)
     dist = models.action_dist(env_cfg, logits)
     behaviour_dist = models.action_dist(env_cfg, batch.logits)
@@ -201,7 +219,7 @@ def ppo_loss(env_cfg: EnvConfig, ppo: PPOConfig, params, batch: Batch,
 
     total = jnp.mean(-surrogate + kl_coeff * action_kl
                      + ppo.vf_loss_coeff * vf_loss
-                     - ppo.entropy_coeff * entropy)
+                     - entropy_coeff * entropy)
     aux = {
         "policy_loss": jnp.mean(-surrogate),
         "vf_loss": jnp.mean(vf_loss),
@@ -214,13 +232,14 @@ def ppo_loss(env_cfg: EnvConfig, ppo: PPOConfig, params, batch: Batch,
 
 
 def sgd_epochs(env_cfg: EnvConfig, ppo: PPOConfig, params, opt_state,
-               kl_coeff, batch: Batch, rng):
+               kl_coeff, batch: Batch, rng, entropy_coeff=None):
     """num_sgd_iter epochs of minibatched Adam over the flattened batch."""
     tx = make_optimizer(ppo)
     n_mb = ppo.num_minibatches
     mb_size = ppo.batch_size // n_mb
     grad_fn = jax.grad(
-        lambda p, mb: ppo_loss(env_cfg, ppo, p, mb, kl_coeff), has_aux=True)
+        lambda p, mb: ppo_loss(env_cfg, ppo, p, mb, kl_coeff, entropy_coeff),
+        has_aux=True)
 
     def minibatch_step(carry, idx):
         params, opt_state = carry
@@ -281,8 +300,14 @@ def train_iter(env_cfg: EnvConfig, ppo: PPOConfig, ts: TrainState):
         value_target=flat(value_targets),
     )
 
+    if ppo.entropy_coeff_schedule is not None:
+        entropy_coeff = _interp_schedule(ppo.entropy_coeff_schedule,
+                                         ts.env_steps)
+    else:
+        entropy_coeff = ppo.entropy_coeff
     params, opt_state, aux, rng = sgd_epochs(
-        env_cfg, ppo, ts.params, ts.opt_state, ts.kl_coeff, batch, rng)
+        env_cfg, ppo, ts.params, ts.opt_state, ts.kl_coeff, batch, rng,
+        entropy_coeff)
     kl_coeff = update_kl_coeff(ppo, ts.kl_coeff, aux["kl"])
 
     nan = jnp.asarray(jnp.nan, jnp.float32)

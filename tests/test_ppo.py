@@ -135,3 +135,22 @@ def test_trainer_smoke_runs():
     t = Trainer(run)
     best = t.train()
     assert int(t.ts.iteration) == 2
+
+
+def test_schedules():
+    from q1physrl_tpu.algo.ppo import _interp_schedule
+
+    sched = ((0, 0.01), (1_000_000, 0.001))
+    assert abs(float(_interp_schedule(sched, 0)) - 0.01) < 1e-8
+    assert abs(float(_interp_schedule(sched, 500_000)) - 0.0055) < 1e-6
+    assert abs(float(_interp_schedule(sched, 2_000_000)) - 0.001) < 1e-8
+
+    env_cfg, _, _ = make_smoke_ts()
+    ppo = PPOConfig(num_envs=64, rollout_length=16, num_sgd_iter=2,
+                    sgd_minibatch_size=256,
+                    lr_schedule=((0, 1e-3), (10_000, 1e-4)),
+                    entropy_coeff_schedule=((0, 0.05), (10_000, 0.01)))
+    ts = init_train_state(jax.random.key(0), env_cfg, ppo)
+    fn = jax.jit(train_iter, static_argnums=(0, 1))
+    ts, metrics = fn(env_cfg, ppo, ts)
+    assert np.isfinite(metrics["entropy"])

@@ -154,3 +154,19 @@ def test_schedules():
     fn = jax.jit(train_iter, static_argnums=(0, 1))
     ts, metrics = fn(env_cfg, ppo, ts)
     assert np.isfinite(metrics["entropy"])
+
+
+def test_load_run_config_reference_format():
+    """Our trainer reads the reference's own data/params.yml directly."""
+    from q1physrl_tpu.algo.train import load_run_config
+
+    run = load_run_config("/root/reference/data/params.yml")
+    assert run.ppo.num_envs == 400           # 4 workers x 100 envs
+    assert run.ppo.rollout_length == 125     # 50k batch / 400 envs
+    assert run.ppo.kl_target == 0.0036
+    assert run.ppo.lr == 5e-6
+    assert run.ppo.vf_clip_param == 100
+    assert run.env.smove_max == 1060
+    assert run.env.zero_start_prob == 0.01
+    assert abs(run.env.time_delta - 0.013888888888888) < 1e-12
+    assert run.env.conforms_to_rules() is False  # 0.0138888... != 1/72 exactly

@@ -204,6 +204,13 @@ def main(argv=None):
             checkpoint_dir=tempfile.mkdtemp(prefix="q1_smoke_ckpt_"))
     else:
         run = load_run_config(argv[0])
+        # Optional overrides: --seed N (also moves the checkpoint dir so
+        # seed sweeps don't collide).
+        if "--seed" in argv:
+            seed = int(argv[argv.index("--seed") + 1])
+            run = dataclasses.replace(
+                run, seed=seed,
+                checkpoint_dir=f"{run.checkpoint_dir}_seed{seed}")
     trainer = Trainer(run)
     trainer.train()
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .. import phys
@@ -120,7 +121,6 @@ def _decode(cfg: Config, last_keys, last_key_press_time, yaw, key_actions,
     """
     # The reference computes this as np.float32(720) * time_delta -> a
     # float32 scalar (env.py:230); keep that exact value for parity.
-    import numpy as np
     max_yaw_delta = float(np.float32(MAX_YAW_SPEED) * cfg.time_delta)
     yaw_steps = cfg.discrete_yaw_steps
 

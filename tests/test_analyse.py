@@ -150,3 +150,18 @@ def test_eval_zero_start_stats():
     stats = analyse.eval_zero_start(params, cfg, num_episodes=8)
     assert stats["num_episodes"] == 8
     assert np.isfinite(stats["mean"]) and stats["min"] <= stats["median"] <= stats["max"]
+
+
+def test_wish_angle_yaw_plot_renders(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    params = models.init_params(jnp_key(3), PARAMS_CFG)
+    r = analyse.eval_sim(params, PARAMS_CFG, seed=1, max_steps=120)
+    r.wish_angle_yaw_plot(figsize=(6, 5))
+    out = tmp_path / "plot.png"
+    plt.savefig(out)
+    plt.close("all")
+    assert out.stat().st_size > 1000

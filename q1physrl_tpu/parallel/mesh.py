@@ -23,7 +23,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ("make_mesh", "shard_train_state", "shard_env_axis")
+__all__ = ("make_mesh", "shard_train_state", "shard_env_axis",
+           "env_axis_spec")
 
 DATA_AXIS = "data"
 
@@ -35,20 +36,32 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
-def shard_env_axis(tree, mesh: Mesh, num_envs: int):
-    """Shard every leaf whose trailing axis is the env axis; replicate the
-    rest.  Works for EnvState, EpisodeStats, and trajectory pytrees (the
-    env axis is always trailing in our SoA layout)."""
-    repl = NamedSharding(mesh, P())
+def env_axis_spec(tree):
+    """PartitionSpec pytree for an env-state-like pytree: every array leaf
+    is sharded on its trailing (env) axis — our SoA layout guarantees the
+    env axis is always trailing — except PRNG keys and scalars, which are
+    replicated.  Structural, not shape-based: shape tests can collide when
+    num_envs equals an unrelated dimension (e.g. the 256-wide hidden
+    layer)."""
 
-    def place(leaf):
+    def spec(leaf):
         leaf = jax.numpy.asarray(leaf)
-        if leaf.ndim >= 1 and leaf.shape[-1] == num_envs:
-            spec = P(*([None] * (leaf.ndim - 1) + [DATA_AXIS]))
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
-        return jax.device_put(leaf, repl)
+        if leaf.ndim == 0 or jax.dtypes.issubdtype(leaf.dtype,
+                                                   jax.dtypes.prng_key):
+            return P()
+        return P(*([None] * (leaf.ndim - 1) + [DATA_AXIS]))
 
-    return jax.tree.map(place, tree)
+    return jax.tree.map(spec, tree)
+
+
+def shard_env_axis(tree, mesh: Mesh, num_envs: int = None):
+    """Place an env-state-like pytree: trailing env axis sharded over the
+    mesh, scalars/keys replicated.  (num_envs retained for API compat.)"""
+    specs = env_axis_spec(tree)
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(jax.numpy.asarray(leaf),
+                                       NamedSharding(mesh, s)),
+        tree, specs)
 
 
 def shard_train_state(ts, mesh: Mesh):

@@ -86,6 +86,10 @@ class RunConfig:
     env: EnvConfig = dataclasses.field(default_factory=EnvConfig.get_default)
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
     seed: int = 0
+    # Multi-device: "auto" shards over all visible devices when >1;
+    # use_shard_map selects the explicit-collective path (parallel/spmd.py)
+    # over XLA-autosharded jit.
+    use_shard_map: bool = False
     checkpoint_dir: str = "checkpoints"
     checkpoint_fname: Optional[str] = None   # explicit restore path
     auto_resume: bool = True                 # resume from latest checkpoint

@@ -98,12 +98,23 @@ class Trainer:
         self.env_cfg = env_cfg
         self.ppo = run.ppo
         self.ts = init_train_state(jax.random.key(run.seed), env_cfg, self.ppo)
-        self._fn = functools.partial(jax.jit, static_argnums=(0, 1),
-                                     donate_argnums=2)(train_iter)
+        if mesh is None and len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh()
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.mesh import shard_train_state
+
             self.ts = shard_train_state(self.ts, mesh)
+        if mesh is not None and run.use_shard_map:
+            from ..parallel.spmd import make_spmd_train_iter
+
+            spmd_fn = make_spmd_train_iter(env_cfg, self.ppo, mesh)
+            self._fn = lambda _cfg, _ppo, ts: spmd_fn(ts)
+        else:
+            self._fn = functools.partial(jax.jit, static_argnums=(0, 1),
+                                         donate_argnums=2)(train_iter)
         restore = run.checkpoint_fname
         if restore is None and run.auto_resume:
             # Failure recovery story (SURVEY.md section 5.3): resume from

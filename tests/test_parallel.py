@@ -90,3 +90,19 @@ def test_spmd_shard_map_train_iter():
     assert ts.params["policy"][0][0].sharding.is_fully_replicated
     assert not ts.env_state.yaw.sharding.is_fully_replicated
     assert float(m["mean_reward"]) > first  # learning signal flows
+
+
+def test_trainer_uses_shard_map_path():
+    import tempfile
+
+    from q1physrl_tpu.algo import RunConfig
+    from q1physrl_tpu.algo.train import Trainer
+
+    run = RunConfig(
+        ppo=PPOConfig(num_envs=64, rollout_length=8, num_sgd_iter=2,
+                      sgd_minibatch_size=128),
+        use_shard_map=True, max_iterations=2,
+        checkpoint_dir=tempfile.mkdtemp())
+    t = Trainer(run, mesh=make_mesh(8))
+    t.train()
+    assert int(t.ts.iteration) == 2

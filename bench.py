@@ -90,6 +90,20 @@ def bench_env_pallas(n=1 << 20, t=720, block_envs=32768, reps=5):
 
 
 def main():
+    # The chip does not share well between processes: warn if a training
+    # loop appears to be running (the bench may starve behind it).
+    try:
+        import subprocess
+
+        out = subprocess.run(["ps", "-eo", "args"], capture_output=True,
+                             text=True).stdout
+        trainers = [l for l in out.splitlines()
+                    if "q1physrl_tpu.algo.train" in l]
+        if trainers:
+            log(f"WARNING: {len(trainers)} training process(es) running; "
+                "bench numbers may be degraded or stall")
+    except Exception:
+        pass
     log(f"devices: {jax.devices()}")
     best = 0.0
     for n, t in [(1 << 19, 256), (1 << 20, 256)]:

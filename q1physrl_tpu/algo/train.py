@@ -21,7 +21,6 @@ import time
 from typing import Optional
 
 import jax
-import numpy as np
 
 from ..env.config import Config as EnvConfig
 from . import checkpoint as ckpt

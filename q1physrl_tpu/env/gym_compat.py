@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import core
-from .config import Config, Key, get_obs_scale
+from .config import Config, get_obs_scale
 
 __all__ = ("PhysEnv", "VectorPhysEnv", "encode_actions")
 

@@ -25,7 +25,7 @@ import sys
 import jax
 import numpy as np
 
-from . import analyse, models
+from . import analyse
 from .env.config import Config
 
 logger = logging.getLogger(__name__)

@@ -31,7 +31,6 @@ boolean flags travel as int32 and convert at the kernel edge.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -21,7 +21,6 @@ granularity differs.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

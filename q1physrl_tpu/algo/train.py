@@ -188,8 +188,11 @@ class Trainer:
                 {**metrics, "iteration": i, "steps_per_sec": steps / dt})
             fname = self.maybe_checkpoint(i, metrics)
             if fname:
+                last_saved = i
                 print("Best:", {k: (round(b.val, 2), b.fname)
                                 for k, b in self.best.items()}, flush=True)
+            else:
+                last_saved = None
             if self.run.plot_frequency and i % self.run.plot_frequency == 0:
                 self.record_plot(i)
             i += 1
@@ -199,6 +202,11 @@ class Trainer:
             if (self.run.max_env_steps is not None
                     and float(self.ts.env_steps) >= self.run.max_env_steps):
                 break
+        if last_saved is None:
+            # Final save so auto-resume restarts exactly here; the infinite
+            # reference loop (train.py:115) never exits and so never needed
+            # this.
+            ckpt.save_checkpoint(self.run.checkpoint_dir, self.ts, i)
         print(f"Finished {i} iterations in {time.time() - t_start:.0f}s")
         return self.best
 

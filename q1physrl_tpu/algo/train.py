@@ -22,6 +22,17 @@ from typing import Optional
 
 import jax
 
+# Persistent compilation cache: train_iter is a large XLA program (~10 min
+# remote compile on the axon backend); caching it makes restarts/resumes
+# near-instant when supported by the backend.
+try:
+    import os as _os
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.path.expanduser("~/.cache/jax_q1physrl"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:  # backend without persistent-cache support
+    pass
+
 from ..env.config import Config as EnvConfig
 from . import checkpoint as ckpt
 from .config import PPOConfig, RunConfig

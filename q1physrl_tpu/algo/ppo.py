@@ -33,7 +33,8 @@ from ..env import core as env_core
 from ..env.config import Config as EnvConfig
 from .config import PPOConfig
 
-__all__ = ("TrainState", "init_train_state", "train_iter", "rollout")
+__all__ = ("TrainState", "Coeffs", "init_train_state", "train_iter",
+           "rollout")
 
 
 @struct.dataclass
@@ -89,6 +90,21 @@ class TrainState:
     env_steps: jnp.ndarray       # () int64-ish float
 
 
+class Coeffs(NamedTuple):
+    """Dynamic (runtime) hyperparameter overrides for ``train_iter``.
+
+    The static ``PPOConfig`` schedules are baked into the compiled program
+    as constants, so every schedule variant costs a full recompile (~12 min
+    on the remote TPU backend).  Passing a ``Coeffs`` instead makes these
+    three knobs ordinary traced scalars: one compiled program serves every
+    schedule, which is what makes population sweeps (algo/sweep.py) cheap.
+    """
+
+    entropy_coeff: jnp.ndarray   # () float32
+    lr: jnp.ndarray              # () float32
+    kl_target: jnp.ndarray       # () float32
+
+
 class Batch(NamedTuple):
     """Flattened (B, ...) training batch."""
 
@@ -119,10 +135,26 @@ def make_optimizer(ppo: PPOConfig):
                                             count * env_per_update)
     else:
         lr = ppo.lr
-    tx = optax.adam(lr, eps=1e-8)  # TF AdamOptimizer defaults
-    if ppo.grad_clip is not None:
-        tx = optax.chain(optax.clip_by_global_norm(ppo.grad_clip), tx)
-    return tx
+
+    # inject_hyperparams keeps the learning rate in the optimizer STATE
+    # (InjectHyperparamsState.hyperparams) rather than baked into the
+    # compiled update, so a dynamic lr (Coeffs.lr) can override it at
+    # runtime without recompiling.
+    @optax.inject_hyperparams
+    def _make(learning_rate):
+        tx = optax.adam(learning_rate, eps=1e-8)  # TF AdamOptimizer defaults
+        if ppo.grad_clip is not None:
+            tx = optax.chain(optax.clip_by_global_norm(ppo.grad_clip), tx)
+        return tx
+
+    return _make(learning_rate=lr)
+
+
+def _override_lr(opt_state, lr):
+    """Replace the injected learning rate in an InjectHyperparamsState."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)
 
 
 def init_train_state(key, env_cfg: EnvConfig, ppo: PPOConfig) -> TrainState:
@@ -232,9 +264,11 @@ def ppo_loss(env_cfg: EnvConfig, ppo: PPOConfig, params, batch: Batch,
 
 
 def sgd_epochs(env_cfg: EnvConfig, ppo: PPOConfig, params, opt_state,
-               kl_coeff, batch: Batch, rng, entropy_coeff=None):
+               kl_coeff, batch: Batch, rng, entropy_coeff=None, lr=None):
     """num_sgd_iter epochs of minibatched Adam over the flattened batch."""
     tx = make_optimizer(ppo)
+    if lr is not None:
+        opt_state = _override_lr(opt_state, lr)
     n_mb = ppo.num_minibatches
     mb_size = ppo.batch_size // n_mb
     grad_fn = jax.grad(
@@ -267,16 +301,23 @@ def sgd_epochs(env_cfg: EnvConfig, ppo: PPOConfig, params, opt_state,
     return params, opt_state, last_aux, rng
 
 
-def update_kl_coeff(ppo: PPOConfig, kl_coeff, sampled_kl):
+def update_kl_coeff(ppo: PPOConfig, kl_coeff, sampled_kl, kl_target=None):
     """RLLib 0.8.4 KLCoeffMixin.update_kl."""
+    if kl_target is None:
+        kl_target = ppo.kl_target
     return jnp.where(
-        sampled_kl > 2.0 * ppo.kl_target, kl_coeff * 1.5,
-        jnp.where(sampled_kl < 0.5 * ppo.kl_target, kl_coeff * 0.5, kl_coeff))
+        sampled_kl > 2.0 * kl_target, kl_coeff * 1.5,
+        jnp.where(sampled_kl < 0.5 * kl_target, kl_coeff * 0.5, kl_coeff))
 
 
-def train_iter(env_cfg: EnvConfig, ppo: PPOConfig, ts: TrainState):
+def train_iter(env_cfg: EnvConfig, ppo: PPOConfig, ts: TrainState,
+               coeffs: Coeffs | None = None):
     """One full PPO iteration (rollout + learn).  Pure; jit with
-    static_argnums=(0, 1)."""
+    static_argnums=(0, 1).
+
+    ``coeffs`` optionally overrides entropy_coeff / lr / kl_target with
+    runtime scalars (see ``Coeffs``); when None the static PPOConfig values
+    and schedules apply, exactly as before."""
     env_state, stats, rng, traj, bootstrap_value = rollout(
         env_cfg, ppo, ts.params, ts.env_state, ts.stats, ts.rng)
     obs, ka, ya, logits, logp, value, reward, done = traj
@@ -300,15 +341,19 @@ def train_iter(env_cfg: EnvConfig, ppo: PPOConfig, ts: TrainState):
         value_target=flat(value_targets),
     )
 
-    if ppo.entropy_coeff_schedule is not None:
-        entropy_coeff = _interp_schedule(ppo.entropy_coeff_schedule,
-                                         ts.env_steps)
+    if coeffs is not None:
+        entropy_coeff, lr, kl_target = coeffs
     else:
-        entropy_coeff = ppo.entropy_coeff
+        lr = kl_target = None
+        if ppo.entropy_coeff_schedule is not None:
+            entropy_coeff = _interp_schedule(ppo.entropy_coeff_schedule,
+                                             ts.env_steps)
+        else:
+            entropy_coeff = ppo.entropy_coeff
     params, opt_state, aux, rng = sgd_epochs(
         env_cfg, ppo, ts.params, ts.opt_state, ts.kl_coeff, batch, rng,
-        entropy_coeff)
-    kl_coeff = update_kl_coeff(ppo, ts.kl_coeff, aux["kl"])
+        entropy_coeff, lr)
+    kl_coeff = update_kl_coeff(ppo, ts.kl_coeff, aux["kl"], kl_target)
 
     nan = jnp.asarray(jnp.nan, jnp.float32)
     has_ep = stats.finished > 0

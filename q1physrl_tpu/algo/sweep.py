@@ -1,0 +1,278 @@
+"""Population training sweep: P independent PPO runs in ONE XLA program.
+
+The reference explored hyperparameters by sequential CPU runs (days each,
+README.md:53-57).  On TPU the chip is mostly idle at the reference's 400-env
+geometry, so we vmap ``train_iter`` over a population axis instead: P
+members with different seeds and different entropy/lr schedules advance in
+lockstep inside a single compiled program.  Schedules are per-iteration
+*runtime* scalars (ppo.Coeffs), so every member shares one compilation —
+sweeping a schedule costs nothing.
+
+Usage:  python -m q1physrl_tpu.algo.sweep configs/sweep.yml
+
+Sweep YAML format:
+    base: configs/run4.yml          # RunConfig YAML; schedules ignored
+    out_dir: runs/sweep_r2
+    max_env_steps: 400000000        # per member
+    checkpoint_every: 1000          # iterations, stacked resume checkpoint
+    members:
+      - label: control
+        seed: 101
+        entropy: [[0, 0.03], [40000000, 0.01]]     # piecewise-linear
+        lr: [[0, 5.0e-6]]                          # piecewise-linear
+        kl_target: 0.0036                          # constant
+
+Per member, the driver tracks an EMA of the north-star metric
+(zero_start_total_reward_mean) and snapshots the best params/opt_state seen
+— each snapshot is a normal single-run checkpoint loadable by
+``algo.evaluate`` / ``scripts/finalize_run.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import checkpoint as ckpt
+from .config import PPOConfig, RunConfig
+from .ppo import Coeffs, TrainState, init_train_state, train_iter
+
+__all__ = ("MemberSpec", "PopulationTrainer", "load_sweep", "main")
+
+# EMA halflife for the noisy per-iteration north-star metric (~1-2 zero-start
+# episodes per 50k-step iteration at zero_start_prob=0.01).
+EMA_ALPHA = 0.02
+
+
+@dataclasses.dataclass(frozen=True)
+class MemberSpec:
+    seed: int
+    entropy: tuple          # ((env_step, coeff), ...)
+    lr: tuple = ((0, 5e-6),)
+    kl_target: float = 0.0036
+    label: str = ""
+
+    def coeffs_at(self, env_steps: float) -> tuple:
+        e = _interp(self.entropy, env_steps)
+        l = _interp(self.lr, env_steps)
+        return e, l, self.kl_target
+
+
+def _interp(schedule, x):
+    xs = np.asarray([p[0] for p in schedule], np.float64)
+    ys = np.asarray([p[1] for p in schedule], np.float64)
+    return float(np.interp(x, xs, ys))
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _member_ckpt_tree(stacked: TrainState, i: int):
+    """Slice member ``i`` out of the stacked state into the standard
+    single-run checkpoint tree (algo.checkpoint._ckpt_tree layout)."""
+    take = lambda t: jax.tree.map(lambda x: np.asarray(x[i]), t)
+    return {
+        "params": take(stacked.params),
+        "opt_state": take(stacked.opt_state),
+        "kl_coeff": np.asarray(stacked.kl_coeff[i]),
+        "rng": np.asarray(jax.random.key_data(stacked.rng))[i],
+        "iteration": np.asarray(stacked.iteration[i]),
+        "env_steps": np.asarray(stacked.env_steps[i]),
+    }
+
+
+def _save_tree(directory: str, tree) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    return path
+
+
+class PopulationTrainer:
+    def __init__(self, run: RunConfig, members: list[MemberSpec],
+                 out_dir: str, checkpoint_every: int = 1000):
+        self.run = run
+        self.members = members
+        self.out_dir = out_dir
+        self.checkpoint_every = checkpoint_every
+        env_cfg = (dataclasses.replace(run.env, num_envs=None)
+                   if run.env.num_envs is not None else run.env)
+        self.env_cfg = env_cfg
+        # Dynamic coeffs replace the static schedules entirely.
+        self.ppo = dataclasses.replace(run.ppo, lr_schedule=None,
+                                       entropy_coeff_schedule=None)
+        os.makedirs(f"{out_dir}/logs", exist_ok=True)
+
+        states = [init_train_state(jax.random.key(m.seed), env_cfg, self.ppo)
+                  for m in members]
+        self.ts = _stack(states)
+
+        fn = lambda ts, c: train_iter(env_cfg, self.ppo, ts, c)
+        self._fn = jax.jit(jax.vmap(fn), donate_argnums=0)
+
+        resume = ckpt.latest_checkpoint(f"{out_dir}/stacked")
+        if resume:
+            print(f"Resuming sweep from {resume}", flush=True)
+            self.ts = self._restore_stacked(resume)
+
+        self.ema = [float("nan")] * len(members)
+        self.best_ema = [-float("inf")] * len(members)
+        self._last_snap = [-(10 ** 9)] * len(members)
+        self._log_files = [open(f"{out_dir}/logs/member_{i:02d}.jsonl", "a")
+                           for i in range(len(members))]
+        with open(f"{out_dir}/members.json", "w") as f:
+            json.dump([dataclasses.asdict(m) for m in members], f, indent=2)
+
+    def _restore_stacked(self, path):
+        import orbax.checkpoint as ocp
+
+        template = jax.tree.map(np.asarray, {
+            "params": self.ts.params, "opt_state": self.ts.opt_state,
+            "kl_coeff": self.ts.kl_coeff,
+            "rng": jax.random.key_data(self.ts.rng),
+            "iteration": self.ts.iteration, "env_steps": self.ts.env_steps,
+        })
+        with ocp.StandardCheckpointer() as ckptr:
+            tree = ckptr.restore(os.path.abspath(path), template)
+        return self.ts.replace(
+            params=tree["params"], opt_state=tree["opt_state"],
+            kl_coeff=tree["kl_coeff"],
+            rng=jax.random.wrap_key_data(np.asarray(tree["rng"])),
+            iteration=tree["iteration"], env_steps=tree["env_steps"])
+
+    def _coeffs(self, env_steps: float) -> Coeffs:
+        vals = [m.coeffs_at(env_steps) for m in self.members]
+        e, l, k = zip(*vals)
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        return Coeffs(entropy_coeff=f32(e), lr=f32(l), kl_target=f32(k))
+
+    def _snapshot_best(self, i: int, iteration: int):
+        d = f"{self.out_dir}/best_member_{i:02d}"
+        tmp = d + ".tmp"
+        _save_tree(tmp, _member_ckpt_tree(self.ts, i))
+        if os.path.exists(d):
+            import shutil
+
+            shutil.rmtree(d)
+        os.rename(tmp, d)
+        with open(f"{d}.json", "w") as f:
+            json.dump({"member": i, "label": self.members[i].label,
+                       "iteration": iteration, "ema": self.ema[i],
+                       "env_steps": float(self.ts.env_steps[0])}, f)
+
+    def train(self, max_env_steps: float,
+              max_seconds: Optional[float] = None):
+        i = int(np.asarray(self.ts.iteration)[0])
+        t_start = time.time()
+        steps_per_iter = self.ppo.batch_size
+        try:
+            while float(np.asarray(self.ts.env_steps)[0]) < max_env_steps:
+                env_steps = float(np.asarray(self.ts.env_steps)[0])
+                coeffs = self._coeffs(env_steps)
+                t0 = time.time()
+                self.ts, metrics = self._fn(self.ts, coeffs)
+                metrics = {k: np.asarray(v) for k, v in
+                           jax.device_get(metrics).items()}
+                dt = time.time() - t0
+                env_steps += steps_per_iter
+                for m in range(len(self.members)):
+                    zs = float(metrics["zero_start_total_reward_mean"][m])
+                    if not math.isnan(zs):
+                        prev = self.ema[m]
+                        self.ema[m] = (zs if math.isnan(prev) else
+                                       (1 - EMA_ALPHA) * prev + EMA_ALPHA * zs)
+                    row = {k: float(v[m]) for k, v in metrics.items()}
+                    row.update(step=int(env_steps), iteration=i,
+                               zs_ema=self.ema[m],
+                               entropy_coeff=float(coeffs.entropy_coeff[m]),
+                               lr=float(coeffs.lr[m]))
+                    self._log_files[m].write(json.dumps(row) + "\n")
+                    # Snapshot on a new best smoothed north-star; warmup 30
+                    # iterations so the EMA has support, and rate-limit the
+                    # host-side saves so a steadily rising curve doesn't
+                    # checkpoint every iteration.
+                    if (i > 30 and not math.isnan(self.ema[m])
+                            and self.ema[m] > self.best_ema[m] + 1e-6):
+                        self.best_ema[m] = self.ema[m]
+                        if i - self._last_snap[m] >= 25:
+                            self._last_snap[m] = i
+                            self._snapshot_best(m, i)
+                if i % 20 == 0:
+                    for f in self._log_files:
+                        f.flush()
+                    emas = " ".join(f"{e:7.1f}" for e in self.ema)
+                    print(f"iter {i} steps {int(env_steps):,} "
+                          f"steps/s {len(self.members) * steps_per_iter / dt:,.0f}"
+                          f" ema [{emas}]", flush=True)
+                i += 1
+                if i % self.checkpoint_every == 0:
+                    self._save_resume()
+                if max_seconds and time.time() - t_start > max_seconds:
+                    print("Time budget reached", flush=True)
+                    break
+        finally:
+            self._save_resume()
+            for f in self._log_files:
+                f.close()
+        print(f"Sweep done: {i} iterations in "
+              f"{time.time() - t_start:.0f}s; best EMAs "
+              f"{[round(b, 1) for b in self.best_ema]}", flush=True)
+
+    def _save_resume(self):
+        tree = {
+            "params": self.ts.params, "opt_state": self.ts.opt_state,
+            "kl_coeff": self.ts.kl_coeff,
+            "rng": jax.random.key_data(self.ts.rng),
+            "iteration": self.ts.iteration, "env_steps": self.ts.env_steps,
+        }
+        it = int(np.asarray(self.ts.iteration)[0])
+        _save_tree(f"{self.out_dir}/stacked/iter_{it:07d}",
+                   jax.device_get(tree))
+
+
+def load_sweep(path: str):
+    import yaml
+
+    from .train import load_run_config
+
+    with open(path) as f:
+        spec = yaml.safe_load(f)
+    run = load_run_config(spec["base"])
+    members = [MemberSpec(
+        seed=m["seed"],
+        entropy=tuple(tuple(p) for p in m["entropy"]),
+        lr=tuple(tuple(p) for p in m.get("lr", [[0, run.ppo.lr]])),
+        kl_target=m.get("kl_target", run.ppo.kl_target),
+        label=m.get("label", f"member{j}"),
+    ) for j, m in enumerate(spec["members"])]
+    return (run, members, spec["out_dir"],
+            float(spec.get("max_env_steps", 4e8)),
+            spec.get("checkpoint_every", 1000),
+            spec.get("max_seconds"))
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    from .train import enable_compilation_cache
+
+    enable_compilation_cache()
+    run, members, out_dir, max_steps, ckpt_every, max_seconds = \
+        load_sweep(argv[0])
+    trainer = PopulationTrainer(run, members, out_dir, ckpt_every)
+    trainer.train(max_steps, max_seconds)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,23 +22,28 @@ from typing import Optional
 
 import jax
 
-# Persistent compilation cache: train_iter is a large XLA program (~10 min
-# remote compile on the axon backend); caching it makes restarts/resumes
-# near-instant when supported by the backend.
-try:
-    import os as _os
-    jax.config.update("jax_compilation_cache_dir",
-                      _os.path.expanduser("~/.cache/jax_q1physrl"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-except Exception:  # backend without persistent-cache support
-    pass
-
 from ..env.config import Config as EnvConfig
 from . import checkpoint as ckpt
 from .config import PPOConfig, RunConfig
 from .ppo import init_train_state, train_iter
 
-__all__ = ("load_run_config", "Trainer", "main")
+__all__ = ("enable_compilation_cache", "load_run_config", "Trainer", "main")
+
+
+def enable_compilation_cache():
+    """Persistent compilation cache: train_iter is a large XLA program
+    (~10 min remote compile on the axon backend); caching it makes
+    restarts/resumes near-instant.  Called from CLI entry points only —
+    library importers keep JAX's default cache behaviour."""
+    import os
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_q1physrl"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as e:  # backend without persistent-cache support
+        print(f"warning: persistent compilation cache unavailable: {e}",
+              flush=True)
 
 # Stats tracked for best-checkpointing (reference train.py:67-74).
 STATS_TO_TRACK = (
@@ -224,6 +229,7 @@ class Trainer:
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    enable_compilation_cache()
     if argv and argv[0] == "--smoke":
         import tempfile
         run = RunConfig(

@@ -28,18 +28,28 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     """Initialize jax.distributed (no-op when single-process).
 
     With TPU pod runtime metadata available, bare ``initialize()`` works;
-    the explicit arguments support manual clusters.
+    the explicit arguments support manual clusters.  Failures are swallowed
+    only in the argument-free auto-detect mode (no cluster metadata means
+    "run locally"); with explicit arguments the caller asked for a cluster,
+    so errors propagate.
     """
-    if jax.process_count() > 1:
+    # NB: don't probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize() refuses to run.
+    # The distributed client handle is the side-effect-free signal.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
     except (ValueError, RuntimeError):
+        if explicit:
+            raise
         # Single-process / no cluster metadata: run locally.
-        pass
 
 
 def is_multi_host() -> bool:

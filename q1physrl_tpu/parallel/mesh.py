@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ("make_mesh", "shard_train_state", "shard_env_axis",
-           "env_axis_spec")
+           "env_axis_spec", "train_state_specs", "init_sharded_train_state")
 
 DATA_AXIS = "data"
 
@@ -45,7 +45,8 @@ def env_axis_spec(tree):
     layer)."""
 
     def spec(leaf):
-        leaf = jax.numpy.asarray(leaf)
+        if not hasattr(leaf, "ndim"):  # accepts ShapeDtypeStruct leaves too
+            leaf = jax.numpy.asarray(leaf)
         if leaf.ndim == 0 or jax.dtypes.issubdtype(leaf.dtype,
                                                    jax.dtypes.prng_key):
             return P()
@@ -62,6 +63,40 @@ def shard_env_axis(tree, mesh: Mesh, num_envs: int = None):
         lambda leaf, s: jax.device_put(jax.numpy.asarray(leaf),
                                        NamedSharding(mesh, s)),
         tree, specs)
+
+
+def train_state_specs(ts):
+    """PartitionSpec pytree for a TrainState (concrete or abstract): env
+    state + per-env episode stats sharded over the env axis, params /
+    optimizer state / scalars replicated.  Structural per field, never
+    shape-matched."""
+    repl = lambda tree: jax.tree.map(lambda _: P(), tree)
+    return ts.replace(
+        params=repl(ts.params),
+        opt_state=repl(ts.opt_state),
+        env_state=env_axis_spec(ts.env_state),
+        stats=env_axis_spec(ts.stats),
+        kl_coeff=P(), rng=P(), iteration=P(), env_steps=P(),
+    )
+
+
+def init_sharded_train_state(key, env_cfg, ppo, mesh: Mesh):
+    """Initialize a TrainState directly INTO its mesh placement via
+    ``jit(..., out_shardings=...)``.
+
+    Unlike ``init_train_state`` + ``shard_train_state`` (host array then
+    device_put), this works in multi-process meshes where no single process
+    may materialize a global array: every process runs the same jitted
+    initializer and receives only its addressable shards."""
+    from jax.sharding import NamedSharding
+
+    from ..algo.ppo import init_train_state
+
+    init = lambda k: init_train_state(k, env_cfg, ppo)
+    specs = train_state_specs(jax.eval_shape(init, key))
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.jit(init, out_shardings=shardings)(key)
 
 
 def shard_train_state(ts, mesh: Mesh):

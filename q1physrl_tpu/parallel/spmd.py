@@ -27,8 +27,8 @@ import jax.numpy as jnp
 
 from ..algo.config import PPOConfig
 from ..algo.ppo import (Batch, EpisodeStats, TrainState, _interp_schedule,
-                        compute_gae, make_optimizer, ppo_loss, rollout,
-                        update_kl_coeff)
+                        compute_gae, init_train_state, make_optimizer,
+                        ppo_loss, rollout, train_iter, update_kl_coeff)
 from ..env.config import Config as EnvConfig
 from .mesh import DATA_AXIS
 
@@ -40,25 +40,7 @@ except AttributeError:  # pragma: no cover
 __all__ = ("make_spmd_train_iter",)
 
 
-def _train_state_specs(ts: TrainState):
-    """PartitionSpec pytree for a TrainState: env state + per-env episode
-    stats sharded over the env axis, params/opt/scalars replicated —
-    structural placement per field (mesh.shard_train_state layout)."""
-    from jax.sharding import PartitionSpec as P
-
-    from .mesh import env_axis_spec
-
-    repl = lambda tree: jax.tree.map(lambda _: P(), tree)
-    return TrainState(
-        params=repl(ts.params),
-        opt_state=repl(ts.opt_state),
-        env_state=env_axis_spec(ts.env_state),
-        stats=ts.stats.replace(
-            ep_return=P(DATA_AXIS), ep_len=P(DATA_AXIS),
-            finished=P(), ret_sum=P(), ret_max=P(), len_sum=P(),
-            zs_finished=P(), zs_ret_sum=P()),
-        kl_coeff=P(), rng=P(), iteration=P(), env_steps=P(),
-    )
+from .mesh import train_state_specs as _train_state_specs  # shared layout
 
 
 def make_spmd_train_iter(env_cfg: EnvConfig, ppo: PPOConfig, mesh):
@@ -79,8 +61,16 @@ def make_spmd_train_iter(env_cfg: EnvConfig, ppo: PPOConfig, mesh):
         # Decorrelate per-device RNG streams.
         rng = jax.random.fold_in(ts.rng, axis)
 
+        # The scalar episode accumulators enter replicated (P() in_spec)
+        # but accumulate device-local episodes inside the rollout scan —
+        # mark them device-varying up front so the scan carry types are
+        # consistent under vma checking.
+        vary = lambda x: (x if DATA_AXIS in getattr(x.aval, "vma", ())
+                          else jax.lax.pcast(x, DATA_AXIS, to="varying"))
+        stats_in = jax.tree.map(vary, ts.stats)
+
         env_state, stats, rng, traj, bootstrap_value = rollout(
-            env_cfg, local_ppo, ts.params, ts.env_state, ts.stats, rng)
+            env_cfg, local_ppo, ts.params, ts.env_state, stats_in, rng)
         obs, ka, ya, logits, logp, value, reward, done = traj
 
         advantages, value_targets = compute_gae(local_ppo, reward, done,
@@ -190,22 +180,28 @@ def make_spmd_train_iter(env_cfg: EnvConfig, ppo: PPOConfig, mesh):
 
         return optax.apply_updates(params, updates)
 
-    # Build specs from a throwaway abstract TrainState? Specs depend only on
-    # shapes; derive from ppo geometry using a concrete template at call
-    # time instead — wrap in a function-of-ts.
     from jax.sharding import PartitionSpec as P
+
+    # Metric out_specs are derived from an abstract evaluation of the
+    # single-device train_iter — the single source of truth for the metric
+    # schema.  per_device mirrors that schema; if the two ever diverge
+    # (e.g. a metric added to ppo.py but not here) shard_map raises a
+    # pytree-structure mismatch at trace time instead of silently
+    # mis-placing outputs.
+    tiny = dataclasses.replace(
+        ppo, num_envs=n_dev, rollout_length=1, num_sgd_iter=1,
+        sgd_minibatch_size=n_dev)
+    ts_shape = jax.eval_shape(
+        lambda: init_train_state(jax.random.key(0), env_cfg, tiny))
+    _, metrics_shape = jax.eval_shape(
+        lambda t: train_iter(env_cfg, tiny, t), ts_shape)
+    metric_specs = {k: P() for k in metrics_shape}
 
     def fn(ts: TrainState):
         in_specs = _train_state_specs(ts)
         out_state_specs = _train_state_specs(ts)
-        metric_specs = {k: P() for k in (
-            "episode_reward_mean", "episode_reward_max", "episode_len_mean",
-            "episodes_total", "zero_start_total_reward_mean",
-            "zero_start_episodes", "kl_coeff", "mean_reward", "policy_loss",
-            "vf_loss", "kl", "entropy", "vf_explained_var")}
         mapped = shard_map(per_device, mesh=mesh, in_specs=(in_specs,),
-                           out_specs=(out_state_specs, metric_specs),
-                           check_vma=False)
+                           out_specs=(out_state_specs, metric_specs))
         return mapped(ts)
 
     return jax.jit(fn)

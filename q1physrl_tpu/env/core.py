@@ -177,50 +177,68 @@ def decode_actions(cfg: Config, state: EnvState, key_actions, yaw_action):
     return yaw, smove, fmove, jump
 
 
-def _draw_reset(cfg: Config, key, n: int, float_dtype):
-    """Draw fresh episode-start state for n envs (reference env.py:428-455).
+def reset_from_uniforms(cfg: Config, u_zs, u_yaw, u_time, u_speed, u_angle,
+                        float_dtype=None, rng=None) -> EnvState:
+    """Build fresh episode-start state from five uniform-[0,1) draw arrays
+    (reference env.py:428-455).
+
+    This is the single implementation of the reset distribution: the XLA
+    path (:func:`_draw_reset`) feeds it ``jax.random`` draws, the Pallas
+    rollout kernels feed it in-kernel TPU-PRNG or HBM-streamed draws — so
+    the kernels can be tested elementwise against :func:`step_autoreset`
+    rather than only statistically.
 
     Faithfully reproduces a reference quirk: the randomized draws call
     ``np.random.uniform(x, size=...)`` — i.e. low=x, high=1.0 — so
     time_remaining / speed / move_angle are drawn from (1, x], *not* (0, x].
     """
-    k_zs, k_yaw, k_time, k_speed, k_angle, k_rng = jax.random.split(key, 6)
-    u = lambda k: jax.random.uniform(k, (n,), float_dtype)
+    if float_dtype is None:
+        float_dtype = u_yaw.dtype
+    shape = jnp.shape(u_zs)
 
-    zero_start = u(k_zs) < cfg.zero_start_prob
+    zero_start = u_zs < cfg.zero_start_prob
 
     lo, hi = cfg.initial_yaw_range
-    yaw = jnp.where(zero_start, INITIAL_YAW_ZERO, lo + (hi - lo) * u(k_yaw))
+    yaw = jnp.where(zero_start, INITIAL_YAW_ZERO, lo + (hi - lo) * u_yaw)
     time_remaining = jnp.where(
         zero_start, cfg.time_limit,
-        cfg.time_limit + (1.0 - cfg.time_limit) * u(k_time))
+        cfg.time_limit + (1.0 - cfg.time_limit) * u_time)
     speed = jnp.where(zero_start, 0.0,
-                      cfg.max_initial_speed + (1.0 - cfg.max_initial_speed) * u(k_speed))
-    move_angle = 2 * jnp.pi + (1.0 - 2 * jnp.pi) * u(k_angle)
+                      cfg.max_initial_speed + (1.0 - cfg.max_initial_speed) * u_speed)
+    move_angle = 2 * jnp.pi + (1.0 - 2 * jnp.pi) * u_angle
     if cfg.hover:
-        speed = jnp.full((n,), 320.0, float_dtype)
-        move_angle = jnp.full((n,), jnp.pi / 2, float_dtype)
+        speed = jnp.full(shape, 320.0, float_dtype)
+        move_angle = jnp.full(shape, jnp.pi / 2, float_dtype)
 
     f32 = jnp.float32
     player = phys.PlayerState(
-        z_pos=jnp.full((n,), INITIAL_STATE["z_pos"], float_dtype),
+        z_pos=jnp.full(shape, INITIAL_STATE["z_pos"], float_dtype),
         vel_x=(speed * jnp.cos(move_angle)).astype(f32),
         vel_y=(speed * jnp.sin(move_angle)).astype(f32),
-        vel_z=jnp.full((n,), INITIAL_STATE["vel"][2], f32),
-        on_ground=jnp.zeros((n,), bool),
-        jump_released=jnp.ones((n,), bool),
+        vel_z=jnp.full(shape, INITIAL_STATE["vel"][2], f32),
+        on_ground=jnp.zeros(shape, bool),
+        jump_released=jnp.ones(shape, bool),
     )
 
     nk = cfg.num_keys
     return EnvState(
         player=player,
-        yaw=yaw,
-        time_remaining=time_remaining,
+        yaw=yaw.astype(float_dtype),
+        time_remaining=time_remaining.astype(float_dtype),
         zero_start=zero_start,
-        last_keys=jnp.zeros((nk, n), jnp.int32),
-        last_key_press_time=jnp.full((nk, n), -cfg.key_press_delay, float_dtype),
-        rng=k_rng,
+        last_keys=jnp.zeros((nk,) + shape, jnp.int32),
+        last_key_press_time=jnp.full((nk,) + shape, -cfg.key_press_delay,
+                                     float_dtype),
+        rng=rng,
     )
+
+
+def _draw_reset(cfg: Config, key, n: int, float_dtype):
+    """Draw fresh episode-start state for n envs (reference env.py:428-455)."""
+    k_zs, k_yaw, k_time, k_speed, k_angle, k_rng = jax.random.split(key, 6)
+    u = lambda k: jax.random.uniform(k, (n,), float_dtype)
+    return reset_from_uniforms(cfg, u(k_zs), u(k_yaw), u(k_time), u(k_speed),
+                               u(k_angle), float_dtype, rng=k_rng)
 
 
 def reset(cfg: Config, key, n: int, float_dtype=jnp.float32) -> EnvState:
@@ -288,31 +306,46 @@ def step(cfg: Config, state: EnvState, key_actions, yaw_action,
                                  zero_start=state.zero_start)
 
 
+def merge_reset(done, fresh: EnvState, current: EnvState, rng=None) -> EnvState:
+    """Select ``fresh`` episode-start state where ``done``, else ``current``.
+
+    (N,) ``done`` broadcasts against both (N,) and (K, N) leaves; the rng
+    key is shared by the whole batch and carried forward unconditionally.
+    Shared by :func:`step_autoreset` and the Pallas rollout kernels.
+    """
+    merge = lambda f, c: jnp.where(done, f, c)
+    return EnvState(
+        player=jax.tree.map(merge, fresh.player, current.player),
+        yaw=merge(fresh.yaw, current.yaw),
+        time_remaining=merge(fresh.time_remaining, current.time_remaining),
+        zero_start=merge(fresh.zero_start, current.zero_start),
+        last_keys=merge(fresh.last_keys, current.last_keys),
+        last_key_press_time=merge(fresh.last_key_press_time,
+                                  current.last_key_press_time),
+        rng=rng if rng is not None else current.rng,
+    )
+
+
 def step_autoreset(cfg: Config, state: EnvState, key_actions, yaw_action,
-                   compute_observation: bool = True):
+                   compute_observation: bool = True, reset_uniforms=None):
     """Step, then re-draw any env whose episode finished.
 
     Replaces the reference's host-side ``reset_at`` path (env.py:457-480):
     episode boundaries stay staggered across the batch, and the returned
     ``StepResult`` carries the *pre-reset* reward/done/zero_start so episode
     metrics can be accumulated on-device.
+
+    ``reset_uniforms``: optional (5, N) uniform-[0,1) draws to use for the
+    re-draw instead of splitting the carried rng — deterministic injection
+    for exact-parity testing of fused rollout kernels.
     """
     new_state, out = step(cfg, state, key_actions, yaw_action,
                           compute_observation=compute_observation)
-    rng, reset_key = jax.random.split(new_state.rng)
-    fresh = _draw_reset(cfg, reset_key, state.num_envs, state.yaw.dtype)
-    done = out.done
-    # (N,) broadcasts against both (N,) and (K, N) leaves; the rng key is
-    # shared by the whole batch and is carried forward unconditionally.
-    merge = lambda f, c: jnp.where(done, f, c)
-    merged = EnvState(
-        player=jax.tree.map(merge, fresh.player, new_state.player),
-        yaw=merge(fresh.yaw, new_state.yaw),
-        time_remaining=merge(fresh.time_remaining, new_state.time_remaining),
-        zero_start=merge(fresh.zero_start, new_state.zero_start),
-        last_keys=merge(fresh.last_keys, new_state.last_keys),
-        last_key_press_time=merge(fresh.last_key_press_time,
-                                  new_state.last_key_press_time),
-        rng=rng,
-    )
-    return merged, out
+    if reset_uniforms is None:
+        rng, reset_key = jax.random.split(new_state.rng)
+        fresh = _draw_reset(cfg, reset_key, state.num_envs, state.yaw.dtype)
+    else:
+        rng = new_state.rng
+        fresh = reset_from_uniforms(cfg, *reset_uniforms,
+                                    float_dtype=state.yaw.dtype)
+    return merge_reset(out.done, fresh, new_state, rng=rng), out

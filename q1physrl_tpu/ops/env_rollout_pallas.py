@@ -42,8 +42,8 @@ from .. import phys
 from ..env import core as env_core
 from ..env.config import Config
 
-__all__ = ("rollout_actions", "rollout_random", "blockify_state",
-           "unblockify_state")
+__all__ = ("rollout_actions", "rollout_actions_autoreset", "rollout_random",
+           "blockify_state", "unblockify_state")
 
 LANES = 128
 
@@ -103,6 +103,19 @@ def unblockify_state(b: _Blocked, rng) -> env_core.EnvState:
         last_keys=b.last_keys.reshape(k, n),
         last_key_press_time=b.last_key_press_time.reshape(k, n),
         rng=rng)
+
+
+def _blocked_from_state(st: env_core.EnvState) -> _Blocked:
+    """Encode an EnvState (bool flags) into _Blocked leaves (int32 flags)."""
+    return _Blocked(
+        z_pos=st.player.z_pos, vel_x=st.player.vel_x, vel_y=st.player.vel_y,
+        vel_z=st.player.vel_z,
+        on_ground=st.player.on_ground.astype(jnp.int32),
+        jump_released=st.player.jump_released.astype(jnp.int32),
+        yaw=st.yaw, time_remaining=st.time_remaining,
+        zero_start=st.zero_start.astype(jnp.int32),
+        last_keys=st.last_keys,
+        last_key_press_time=st.last_key_press_time)
 
 
 def _state_from_refs(refs, idx=...):
@@ -215,6 +228,89 @@ def rollout_actions(cfg: Config, state: env_core.EnvState, key_actions,
     return unblockify_state(new_b, state.rng), rewards, dones
 
 
+def rollout_actions_autoreset(cfg: Config, state: env_core.EnvState,
+                              key_actions, yaw_actions, reset_uniforms, *,
+                              block_envs: int = 1024,
+                              interpret: bool = False):
+    """Fused T-step rollout: actions streamed from HBM, episode auto-reset
+    in-kernel from streamed uniform draws.
+
+    Exactly matches a ``lax.scan`` of ``core.step_autoreset(...,
+    reset_uniforms=ru[t])`` — the deterministic-injection twin of
+    :func:`rollout_random` used for elementwise parity testing of the
+    in-kernel reset path (VERDICT round-1 item 4).
+
+    Args:
+        key_actions: (T, K, N) int32.
+        yaw_actions: (T, N) float32.
+        reset_uniforms: (T, 5, N) float32 uniform-[0,1) draws
+            (zs, yaw, time, speed, angle order — core.reset_from_uniforms).
+
+    Returns: (EnvState, rewards (T, N), dones (T, N) bool).
+    """
+    n = state.num_envs
+    t_steps, k = key_actions.shape[0], key_actions.shape[1]
+    r = block_envs // LANES
+    nb = n // block_envs
+    b = blockify_state(state, block_envs)
+    ka = jnp.asarray(key_actions, jnp.int32).reshape(t_steps, k, nb, r, LANES)
+    ya = jnp.asarray(yaw_actions, jnp.float32).reshape(t_steps, nb, r, LANES)
+    ru = jnp.asarray(reset_uniforms, jnp.float32).reshape(
+        t_steps, 5, nb, r, LANES)
+
+    def kernel(*refs):
+        in_refs = _Blocked(*refs[:_N_STATE])
+        ka_ref, ya_ref, ru_ref = refs[_N_STATE:_N_STATE + 3]
+        out_refs = _Blocked(*refs[_N_STATE + 3:2 * _N_STATE + 3])
+        reward_ref, done_ref = refs[2 * _N_STATE + 3:]
+
+        _copy_init(in_refs, out_refs)
+        st = _state_from_refs(out_refs)
+        st2, out = env_core.step(cfg, st, ka_ref[0], ya_ref[0],
+                                 compute_observation=False)
+        fresh = env_core.reset_from_uniforms(
+            cfg, ru_ref[0, 0], ru_ref[0, 1], ru_ref[0, 2], ru_ref[0, 3],
+            ru_ref[0, 4], jnp.float32)
+        merged = env_core.merge_reset(out.done, fresh, st2)
+        _write_state(out_refs, merged)
+        reward_ref[0] = out.reward
+        done_ref[0] = out.done.astype(jnp.int32)
+
+    state_spec = pl.BlockSpec((1, r, LANES), lambda i, t: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    keyed_spec = pl.BlockSpec((k, 1, r, LANES), lambda i, t: (0, i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    specs = [state_spec] * 9 + [keyed_spec, keyed_spec]
+    ka_spec = pl.BlockSpec((1, k, 1, r, LANES), lambda i, t: (t, 0, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ya_spec = pl.BlockSpec((1, 1, r, LANES), lambda i, t: (t, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ru_spec = pl.BlockSpec((1, 5, 1, r, LANES), lambda i, t: (t, 0, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    step_out_spec = pl.BlockSpec((1, 1, r, LANES), lambda i, t: (t, i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in b)
+        + (jax.ShapeDtypeStruct((t_steps, nb, r, LANES), jnp.float32),
+           jax.ShapeDtypeStruct((t_steps, nb, r, LANES), jnp.int32)))
+    out_specs = tuple(specs) + (step_out_spec, step_out_spec)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, t_steps),
+        in_specs=specs + [ka_spec, ya_spec, ru_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*b, ka, ya, ru)
+
+    new_b = _Blocked(*outs[:_N_STATE])
+    rewards = outs[_N_STATE].reshape(t_steps, n)
+    dones = outs[_N_STATE + 1].reshape(t_steps, n) > 0
+    return unblockify_state(new_b, state.rng), rewards, dones
+
+
 def _uniform_from_bits(bits):
     """uint32 random bits -> float32 uniform [0, 1)."""
     return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
@@ -276,42 +372,15 @@ def rollout_random(cfg: Config, state: env_core.EnvState, t_steps: int,
             st2, out = env_core.step(cfg, st, ka, ya,
                                      compute_observation=False)
 
-            # In-kernel auto-reset (mirrors core._draw_reset semantics,
-            # including the uniform(low=x, high=1) quirk).
+            # In-kernel auto-reset — the SAME reset/merge implementation
+            # the XLA step_autoreset uses, fed TPU-PRNG draws.
             u = lambda: _uniform_from_bits(pltpu.prng_random_bits(shape))
-            zs = u() < cfg.zero_start_prob
-            lo, hi = cfg.initial_yaw_range
-            f_yaw = jnp.where(zs, env_core.INITIAL_YAW_ZERO,
-                              lo + (hi - lo) * u())
-            f_time = jnp.where(zs, cfg.time_limit,
-                               cfg.time_limit + (1.0 - cfg.time_limit) * u())
-            speed = jnp.where(zs, 0.0,
-                              cfg.max_initial_speed
-                              + (1.0 - cfg.max_initial_speed) * u())
-            angle = 2 * jnp.pi + (1.0 - 2 * jnp.pi) * u()
-            if cfg.hover:
-                speed = jnp.full(shape, 320.0, jnp.float32)
-                angle = jnp.full(shape, jnp.pi / 2, jnp.float32)
-            d = out.done
-            m = lambda fresh, cur: jnp.where(d, fresh, cur)
-            z0 = env_core.INITIAL_STATE["z_pos"]
-            merged = _Blocked(
-                z_pos=m(jnp.float32(z0), st2.player.z_pos),
-                vel_x=m(speed * jnp.cos(angle), st2.player.vel_x),
-                vel_y=m(speed * jnp.sin(angle), st2.player.vel_y),
-                vel_z=m(jnp.float32(-12.0), st2.player.vel_z),
-                on_ground=m(0, st2.player.on_ground.astype(jnp.int32)),
-                jump_released=m(1, st2.player.jump_released.astype(jnp.int32)),
-                yaw=m(f_yaw, st2.yaw),
-                time_remaining=m(f_time, st2.time_remaining),
-                zero_start=m(zs.astype(jnp.int32),
-                             st2.zero_start.astype(jnp.int32)),
-                last_keys=jnp.where(d, 0, st2.last_keys),
-                last_key_press_time=jnp.where(
-                    d, -cfg.key_press_delay, st2.last_key_press_time),
-            )
+            fresh = env_core.reset_from_uniforms(
+                cfg, u(), u(), u(), u(), u(), jnp.float32)
+            merged = _blocked_from_state(
+                env_core.merge_reset(out.done, fresh, st2))
             return tuple(merged) + (reward_acc + out.reward,
-                                    done_acc + d.astype(jnp.float32))
+                                    done_acc + out.done.astype(jnp.float32))
 
         final = jax.lax.fori_loop(0, t_steps, body, init)
         for ref, val in zip(out_refs, final[:_N_STATE]):

@@ -99,31 +99,38 @@ class EvalSimResult:
         sweep = jax.jit(jax.vmap(delta_for))
         return np.asarray(sweep(jnp.arange(-180.0, 180.0)))
 
-    def wish_angle_yaw_plot(self, figsize=(20, 16)):
-        """Percentile-ranked heat map of near-optimal wish angles with the
-        agent's actual wish angle overlaid (reference analyse.py:120-148)."""
+    def wish_angle_yaw_plot(self, figsize=(20, 16), top_fraction=0.05,
+                            ax=None):
+        """Heat map of near-optimal wish angles per frame with the agent's
+        actual wish angle overlaid — same diagnostic as the reference's
+        plot (analyse.py:120-148): is the agent steering its wish direction
+        into the band of angles that maximizes speed gain?
+
+        Per frame, angles whose counterfactual speed gain falls in the top
+        ``top_fraction`` quantile are highlighted with intensity scaled
+        from the quantile threshold up to the frame optimum (frames where
+        no angle changes speed stay dark).
+        """
         import matplotlib.pyplot as plt
 
-        delta_speeds = self.hypothetical_delta_speeds()
-        wish_angle = self.wish_angle
+        delta = self.hypothetical_delta_speeds()      # (360, T)
+        q = np.quantile(delta, 1.0 - top_fraction, axis=0, keepdims=True)
+        top = delta.max(axis=0, keepdims=True)
+        band = np.clip((delta - q) / np.maximum(top - q, 1e-9), 0.0, 1.0)
+        band = np.where(np.abs(delta) < 1e-3, 0.0, band)
 
-        plt.figure(figsize=figsize)
-        plt.ylim(180, -180)
-        plt.ylabel("wish_angle - move_angle")
-        plt.xlabel("frame")
-
-        # Color by rank; show only the top (1-alpha) percentile band.
-        c = np.argsort(np.argsort(delta_speeds, axis=0), axis=0)
-        c = c / (delta_speeds.shape[0] - 1)
-        alpha = 0.95
-        c = np.maximum((c - alpha) / (1 - alpha), 0)
-        c = np.where(np.abs(delta_speeds) < 1e-3, 0, c)
-
-        plt.imshow(c, cmap="viridis",
-                   extent=(0, delta_speeds.shape[1], 180, -180))
-        wrapped = ((wish_angle - self.move_angle + 180) % 360) - 180
-        plt.plot(wrapped, color="#ff00ff", linestyle="--")
-        plt.colorbar(orientation="horizontal")
+        if ax is None:
+            _, ax = plt.subplots(figsize=figsize)
+        im = ax.imshow(band, cmap="viridis", aspect="auto",
+                       extent=(0, delta.shape[1], 180, -180))
+        rel = ((self.wish_angle - self.move_angle + 180) % 360) - 180
+        ax.plot(rel, color="#ff00ff", linestyle="--",
+                label="agent wish angle")
+        ax.set_ylim(180, -180)
+        ax.set_ylabel("wish_angle - move_angle")
+        ax.set_xlabel("frame")
+        ax.figure.colorbar(im, ax=ax, orientation="horizontal")
+        return ax
 
 
 def _policy_from(policy, env_cfg: Config, deterministic: bool):
@@ -235,33 +242,67 @@ def eval_zero_start(policy, env_config: Config, *, num_episodes: int = 512,
     }
 
 
-def _draw_arrow(im, pos, vec, width, head_size, color, xform):
-    """Render a filled arrow onto an RGBA image (reference analyse.py:151-182)."""
-    import cv2
+def _arrow_polygon(length, width, head_frac):
+    """Arrow outline pointing +y from the origin: a shaft rectangle topped
+    by a triangular head, counter-clockwise (our own construction; the
+    visual contract — filled directional arrows — matches the reference's
+    key overlay, analyse.py:151-182)."""
+    body = length * (1.0 - head_frac)
+    half = 0.5 * width
+    barb = length * head_frac
+    return np.array([
+        (half, 0.0), (half, body), (barb, body), (0.0, length),
+        (-barb, body), (-half, body), (-half, 0.0)])
 
-    length = np.linalg.norm(vec)
+
+def _rasterize_polygon(im, pts, color, supersample=2):
+    """Alpha-composite a filled polygon onto an RGBA uint8 image.
+
+    Coverage is computed by point-in-polygon tests on a ``supersample``x
+    subpixel grid over the polygon's bounding box (numpy + matplotlib.path
+    — no OpenCV dependency)."""
+    from matplotlib.path import Path
+
+    h, w = im.shape[:2]
+    x0 = max(int(np.floor(pts[:, 0].min())), 0)
+    x1 = min(int(np.ceil(pts[:, 0].max())) + 1, w)
+    y0 = max(int(np.floor(pts[:, 1].min())), 0)
+    y1 = min(int(np.ceil(pts[:, 1].max())) + 1, h)
+    if x0 >= x1 or y0 >= y1:
+        return
+
+    s = supersample
+    xs = x0 + (np.arange((x1 - x0) * s) + 0.5) / s
+    ys = y0 + (np.arange((y1 - y0) * s) + 0.5) / s
+    gx, gy = np.meshgrid(xs, ys)
+    inside = Path(pts).contains_points(
+        np.column_stack([gx.ravel(), gy.ravel()]))
+    cov = (inside.reshape(y1 - y0, s, x1 - x0, s)
+           .astype(np.float32).mean(axis=(1, 3)))
+
+    region = im[y0:y1, x0:x1].astype(np.float32)
+    color = np.asarray(color, np.float32)
+    a = cov[..., None]
+    region[..., :3] = region[..., :3] * (1 - a) + color[:3] * a
+    region[..., 3] = np.maximum(region[..., 3], color[3] * cov)
+    im[y0:y1, x0:x1] = region.astype(np.uint8)
+
+
+def _draw_arrow(im, pos, vec, width, head_size, color, xform):
+    """Render a filled arrow onto an RGBA image at ``pos`` pointing along
+    ``vec`` (length = |vec|), under the affine ``xform``."""
+    length = float(np.linalg.norm(vec))
     if length < 1e-5:
         return
-    vec = vec / length
-    xform = xform @ np.array([[vec[1], vec[0], pos[0]],
-                              [-vec[0], vec[1], pos[1]],
-                              [0, 0, 1]])
-    pts = np.array([[0.5 * width, 0, 1],
-                    [0.5 * width, length * (1 - head_size), 1],
-                    [length * head_size, length * (1 - head_size), 1],
-                    [0, length, 1],
-                    [-length * head_size, length * (1 - head_size), 1],
-                    [-0.5 * width, length * (1 - head_size), 1],
-                    [-0.5 * width, 0, 1]])
-    pts = (pts @ xform.T)[:, :2].astype(np.int32)
-
-    rgb = np.ascontiguousarray(im[:, :, :3]).copy()
-    a = np.ascontiguousarray(im[:, :, 3]).copy()
-    cv2.fillPoly(rgb, pts[None], color[:3], lineType=8)
-    cv2.polylines(rgb, pts[None], True, color[:3], thickness=2, lineType=8)
-    cv2.fillPoly(a, pts[None], color[3], lineType=cv2.LINE_AA)
-    im[:, :, :3] = rgb
-    im[:, :, 3] = a
+    d = np.asarray(vec, float) / length
+    # Rotate the +y-pointing template onto d, translate to pos, then apply
+    # the caller's placement transform.
+    local = np.array([[d[1], d[0], pos[0]],
+                      [-d[0], d[1], pos[1]],
+                      [0.0, 0.0, 1.0]])
+    poly = _arrow_polygon(length, width, head_size)
+    pts_h = np.column_stack([poly, np.ones(len(poly))]) @ (xform @ local).T
+    _rasterize_polygon(im, pts_h[:, :2], color)
 
 
 def _draw_arrow_key(im, pos, vec, pressed, xform):
@@ -271,8 +312,9 @@ def _draw_arrow_key(im, pos, vec, pressed, xform):
 
 
 def draw_inputs(im, keys, yaw, xform):
-    """Overlay pressed-key arrows onto a video frame (reference
-    analyse.py:185-194)."""
+    """Overlay pressed-key arrows (WASD layout) onto a video frame —
+    the reference's input overlay (analyse.py:185-194): forward up,
+    strafes sideways, an always-unpressed back arrow for symmetry."""
     _draw_arrow_key(im, [40, 20], [0, -20], keys[Key.FORWARD], xform)
     _draw_arrow_key(im, [20, 40], [-20, 0], keys[Key.STRAFE_LEFT], xform)
     _draw_arrow_key(im, [40, 30], [0, 20], False, xform)

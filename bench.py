@@ -1,14 +1,21 @@
-"""Benchmark: batched-env throughput on the current accelerator.
+"""Benchmark: env throughput AND end-to-end training throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is relative to the reference's 1,552 aggregate env-steps/s
-(i7-6700K, 4 Ray workers x 100 envs; BASELINE.md).
+Prints ONE JSON line with two metrics, each against its own baseline
+(VERDICT round-1 item 9 — no apples-to-oranges ratios):
 
-The benchmarked program is the full PhysEnv semantics per frame — action
-decode (rate limit, smoothing), physics, reward, protocol-quantized
-observation, episode bookkeeping, and in-step auto-reset — driven by a
-random-action source, scanned on-device.  Diagnostics go to stderr; only
-the JSON line goes to stdout.
+- env_steps_per_sec ("value"/"vs_baseline"): random-action batched env
+  rollout — full PhysEnv semantics per frame (action decode with rate
+  limit + smoothing, physics, reward, protocol-quantized observation,
+  episode bookkeeping, in-step auto-reset).  Baseline: the reference's
+  1,552 aggregate env-steps/s (i7-6700K, 4 Ray workers x 100 envs;
+  BASELINE.md) — an env-only number has no reference counterpart, so the
+  honest comparison for it is BASELINE.md's >=10M/s target.
+- train_steps_per_sec ("train_*" keys): the full PPO train_iter (policy
+  rollout + GAE + 30-epoch minibatch SGD) at the TPU geometry
+  (configs/params_tpu.yml).  Baseline: the same 1,552 steps/s, which IS
+  the reference's end-to-end training throughput — apples to apples.
+
+Diagnostics go to stderr; only the JSON line goes to stdout.
 """
 
 import json
@@ -89,6 +96,42 @@ def bench_env_pallas(n=1 << 20, t=720, block_envs=32768, reps=5):
     return _measure(run, state, n, t, reps, f"pallas(be={block_envs})")
 
 
+def bench_train(reps=3):
+    """End-to-end training throughput: jitted train_iter at the TPU
+    geometry (configs/params_tpu.yml: 8192 envs x 96 steps, 8192-sample
+    minibatches, 30 SGD epochs).  Uses the persistent compilation cache
+    (the same program the TPU-geometry training runs use)."""
+    import functools
+
+    from q1physrl_tpu.algo.ppo import init_train_state, train_iter
+    from q1physrl_tpu.algo.train import load_run_config
+
+    run = load_run_config("configs/params_tpu.yml")
+    env_cfg, ppo = run.env, run.ppo
+    import dataclasses
+
+    if env_cfg.num_envs is not None:
+        env_cfg = dataclasses.replace(env_cfg, num_envs=None)
+    ts = init_train_state(jax.random.key(0), env_cfg, ppo)
+    fn = functools.partial(jax.jit, static_argnums=(0, 1),
+                           donate_argnums=2)(train_iter)
+
+    t0 = time.perf_counter()
+    ts, m = fn(env_cfg, ppo, ts)
+    jax.block_until_ready(m)
+    log(f"train_iter first call (incl. compile) {time.perf_counter()-t0:.1f}s")
+    rates = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        ts, m = fn(env_cfg, ppo, ts)
+        jax.block_until_ready(m)
+        dt = time.perf_counter() - t0
+        rates.append(ppo.batch_size / dt)
+        log(f"  rep {i}: {dt:.3f} s -> {rates[-1]/1e6:.2f} M train-steps/s")
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
 def main():
     # The chip does not share well between processes: warn if a training
     # loop appears to be running (the bench may starve behind it).
@@ -98,12 +141,19 @@ def main():
         out = subprocess.run(["ps", "-eo", "args"], capture_output=True,
                              text=True).stdout
         trainers = [l for l in out.splitlines()
-                    if "q1physrl_tpu.algo.train" in l]
+                    if "q1physrl_tpu.algo.train" in l
+                    or "q1physrl_tpu.algo.sweep" in l]
         if trainers:
             log(f"WARNING: {len(trainers)} training process(es) running; "
                 "bench numbers may be degraded or stall")
     except Exception:
         pass
+    try:
+        from q1physrl_tpu.algo.train import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
     log(f"devices: {jax.devices()}")
     best = 0.0
     for n, t in [(1 << 19, 256), (1 << 20, 256)]:
@@ -116,13 +166,20 @@ def main():
             best = max(best, bench_env_pallas(n, block_envs=be))
         except Exception as e:
             log(f"pallas n={n} be={be}: {type(e).__name__}: {e}")
-    baseline = 1552.0
-    print(json.dumps({
+    baseline = 1552.0  # reference end-to-end training steps/s (BASELINE.md)
+    result = {
         "metric": "env_steps_per_sec",
         "value": round(best, 1),
         "unit": "steps/s",
         "vs_baseline": round(best / baseline, 1),
-    }), flush=True)
+    }
+    try:
+        train_rate = bench_train()
+        result["train_steps_per_sec"] = round(train_rate, 1)
+        result["train_vs_baseline"] = round(train_rate / baseline, 1)
+    except Exception as e:
+        log(f"train bench failed: {type(e).__name__}: {e}")
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

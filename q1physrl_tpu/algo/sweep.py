@@ -60,6 +60,11 @@ class MemberSpec:
     lr: tuple = ((0, 5e-6),)
     kl_target: float = 0.0036
     label: str = ""
+    # Warm start: restore params/opt_state/env_steps from this checkpoint
+    # (e.g. a best_member_* snapshot of a previous phase); the member's own
+    # seed re-randomizes the rollout rng so warm-started members explore
+    # decorrelated trajectories.
+    init_from: Optional[str] = None
 
     def coeffs_at(self, env_steps: float) -> tuple:
         e = _interp(self.entropy, env_steps)
@@ -115,8 +120,18 @@ class PopulationTrainer:
                                        entropy_coeff_schedule=None)
         os.makedirs(f"{out_dir}/logs", exist_ok=True)
 
-        states = [init_train_state(jax.random.key(m.seed), env_cfg, self.ppo)
-                  for m in members]
+        states = []
+        for m in members:
+            ts = init_train_state(jax.random.key(m.seed), env_cfg, self.ppo)
+            if m.init_from:
+                ts = ckpt.restore_checkpoint(m.init_from, ts)
+                ts = ts.replace(rng=jax.random.fold_in(
+                    jax.random.key(m.seed), 17))
+            states.append(ts)
+        # The host schedule clock reads env_steps[0] for every member —
+        # lockstep members must share it.
+        steps = {float(ts.env_steps) for ts in states}
+        assert len(steps) == 1, f"members disagree on env_steps: {steps}"
         self.ts = _stack(states)
 
         fn = lambda ts, c: train_iter(env_cfg, self.ppo, ts, c)
@@ -256,6 +271,7 @@ def load_sweep(path: str):
         lr=tuple(tuple(p) for p in m.get("lr", [[0, run.ppo.lr]])),
         kl_target=m.get("kl_target", run.ppo.kl_target),
         label=m.get("label", f"member{j}"),
+        init_from=m.get("init_from"),
     ) for j, m in enumerate(spec["members"])]
     return (run, members, spec["out_dir"],
             float(spec.get("max_env_steps", 4e8)),

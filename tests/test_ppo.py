@@ -170,3 +170,79 @@ def test_load_run_config_reference_format():
     assert run.env.zero_start_prob == 0.01
     assert abs(run.env.time_delta - 0.013888888888888) < 1e-12
     assert run.env.conforms_to_rules() is False  # 0.0138888... != 1/72 exactly
+
+
+def test_train_iter_coeffs_override_matches_static():
+    """Dynamic Coeffs (runtime entropy/lr/kl_target) produce the same
+    update as the equivalent static config — the sweep path is the same
+    program."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from q1physrl_tpu import env as qenv
+    from q1physrl_tpu.algo.ppo import (Coeffs, init_train_state, train_iter)
+    from q1physrl_tpu.algo import PPOConfig
+
+    env_cfg = dataclasses.replace(qenv.Config.get_default(), num_envs=None)
+    ppo = PPOConfig(num_envs=16, rollout_length=8, num_sgd_iter=2,
+                    sgd_minibatch_size=32)
+    ts = init_train_state(jax.random.key(0), env_cfg, ppo)
+
+    ts_a, m_a = jax.jit(train_iter, static_argnums=(0, 1))(env_cfg, ppo, ts)
+    coeffs = Coeffs(jnp.float32(ppo.entropy_coeff), jnp.float32(ppo.lr),
+                    jnp.float32(ppo.kl_target))
+    ts_b, m_b = jax.jit(lambda t, c: train_iter(env_cfg, ppo, t, c))(
+        ts, coeffs)
+
+    for k in m_a:
+        a, b = float(m_a[k]), float(m_b[k])
+        assert (np.isnan(a) and np.isnan(b)) or np.isclose(a, b, rtol=1e-6), \
+            (k, a, b)
+    diffs = jax.tree.map(lambda x, y: float(jnp.abs(x - y).max()),
+                         ts_a.params, ts_b.params)
+    assert max(jax.tree.leaves(diffs)) < 1e-7
+
+
+def test_population_sweep_trains_and_snapshots(tmp_path):
+    """PopulationTrainer: P members advance independently in one program;
+    member snapshots restore through the standard checkpoint loader; the
+    stacked checkpoint resumes."""
+    import dataclasses
+
+    from q1physrl_tpu import env as qenv
+    from q1physrl_tpu.algo import PPOConfig, RunConfig
+    from q1physrl_tpu.algo import checkpoint as ck
+    from q1physrl_tpu.algo.ppo import init_train_state
+    from q1physrl_tpu.algo.sweep import MemberSpec, PopulationTrainer
+
+    env_cfg = dataclasses.replace(qenv.Config.get_default(), num_envs=None)
+    ppo = PPOConfig(num_envs=16, rollout_length=8, num_sgd_iter=2,
+                    sgd_minibatch_size=32)
+    run = RunConfig(env=env_cfg, ppo=ppo)
+    members = [
+        MemberSpec(seed=1, entropy=((0, 0.03), (1000, 0.01)), label="a"),
+        MemberSpec(seed=2, entropy=((0, 0.01),),
+                   lr=((0, 5e-6), (2000, 1e-6)), label="b"),
+    ]
+    out = str(tmp_path / "sweep")
+    pt = PopulationTrainer(run, members, out, checkpoint_every=4)
+    pt.train(max_env_steps=16 * 8 * 6)
+    assert int(np.asarray(pt.ts.iteration)[0]) == 6
+
+    # Members actually diverged (different seeds -> different params).
+    p0 = jax.tree.leaves(pt.ts.params)[0]
+    assert not np.allclose(np.asarray(p0[0]), np.asarray(p0[1]))
+
+    # Member snapshot -> standard single-run checkpoint format.
+    pt.ema = [1.0, 2.0]
+    pt._snapshot_best(1, 6)
+    template = init_train_state(jax.random.key(0), env_cfg, ppo)
+    ts = ck.restore_checkpoint(f"{out}/best_member_01", template)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(ts.params)[0]),
+        np.asarray(p0[1]))
+
+    # Stacked checkpoint resumes.
+    pt2 = PopulationTrainer(run, members, out, checkpoint_every=4)
+    assert int(np.asarray(pt2.ts.iteration)[0]) == 6

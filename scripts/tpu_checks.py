@@ -55,6 +55,44 @@ def check_rollout_actions_parity():
           f"vel err {verr:.2e}  OK")
 
 
+def check_rollout_actions_autoreset_parity():
+    from q1physrl_tpu import env as qenv
+    from q1physrl_tpu.env import core
+    from q1physrl_tpu.ops.env_rollout_pallas import rollout_actions_autoreset
+
+    cfg = dataclasses.replace(qenv.Config.get_default(), num_envs=None,
+                              zero_start_prob=0.3)
+    n, t = 4096, 64
+    state = jax.jit(core.reset, static_argnums=(0, 2, 3))(
+        cfg, jax.random.key(1), n, jnp.float32)
+    rng = np.random.default_rng(1)
+    ka = jnp.asarray(rng.integers(0, 2, (t, cfg.num_keys, n)), jnp.int32)
+    ya = jnp.asarray(rng.uniform(-10, 10, (t, n)), jnp.float32)
+    ru = jnp.asarray(rng.random((t, 5, n)), jnp.float32)
+
+    def body(st, xs):
+        k, y, u = xs
+        st, o = core.step_autoreset(cfg, st, k, y, compute_observation=False,
+                                    reset_uniforms=u)
+        return st, (o.reward, o.done)
+
+    ref_state, (ref_r, ref_d) = jax.jit(
+        lambda s: jax.lax.scan(body, s, (ka, ya, ru)))(state)
+    new_state, rewards, dones = jax.jit(
+        lambda s: rollout_actions_autoreset(cfg, s, ka, ya, ru,
+                                            block_envs=2048))(state)
+
+    err = float(jnp.abs(rewards - ref_r).max())
+    assert err < 1e-4, err
+    assert bool((dones == ref_d).all())
+    assert bool((new_state.zero_start == ref_state.zero_start).all())
+    verr = float(jnp.abs(new_state.player.vel_y
+                         - ref_state.player.vel_y).max())
+    assert verr < 1e-2, verr
+    print(f"[1b] rollout_actions_autoreset Mosaic==XLA: reward err "
+          f"{err:.2e}, vel err {verr:.2e}  OK")
+
+
 def check_rollout_random_stats():
     from q1physrl_tpu import env as qenv
     from q1physrl_tpu.env import core
@@ -116,6 +154,7 @@ def check_train_step():
 if __name__ == "__main__":
     print("devices:", jax.devices())
     check_rollout_actions_parity()
+    check_rollout_actions_autoreset_parity()
     check_rollout_random_stats()
     check_train_step()
     print("all TPU checks passed")

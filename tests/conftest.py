@@ -15,6 +15,11 @@ import sys
 # imported at interpreter startup (sitecustomize registers the TPU plugin),
 # so env vars alone are too late — update the live config as well.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep CHILD processes (notebook kernels, distributed workers) from
+# registering fresh axon TPU-tunnel sessions at interpreter startup
+# (sitecustomize register()s whenever PALLAS_AXON_POOL_IPS is set) — a
+# stray session can stall a training run that owns the chip.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -56,14 +56,16 @@ def main(argv):
 
     out_png, *logs = argv
     plt.figure(figsize=(12, 7))
-    for path in logs:
+    for spec in logs:
+        # "path=label" attaches a legend label (e.g. sweep member names).
+        path, _, label = spec.partition("=")
         pts = (parse_metrics_jsonl(path) if path.endswith(".jsonl")
                else parse_stdout_log(path))
         if not pts:
             print(f"no data in {path}")
             continue
         xs, ys = smooth(pts)
-        plt.plot(xs, ys, label=path)
+        plt.plot(xs, ys, label=label or path)
     rx, ry = zip(*REFERENCE_MILESTONES)
     plt.plot(rx, ry, "k--", alpha=0.6,
              label="reference train.png milestones (i7-6700K, 26.7h)")

@@ -206,3 +206,23 @@ json.dump({{"streams": streams, "plots": plots}},
     # The eval cell reported an episode rollout, and plots rendered.
     assert any("episode:" in s for s in result["streams"])
     assert result["plots"] >= 1
+
+
+def test_render_speed_bars_fill_semantics():
+    """Vectorized bar render: fill column count tracks speed; borders
+    opaque; unfilled region dimmed."""
+    from q1physrl_tpu.vidtools import OverlayStyle, render_speed_bars
+
+    style = OverlayStyle(width=8, height=4, border=1, max_speed=700)
+    frames = render_speed_bars([0.0, 350.0, 700.0, 9999.0], style)
+    assert frames.shape == (4, 6, 10, 4)
+    inner = frames[:, 1:5, 1:9]           # strip without border
+    dim = (inner[..., 3] == 128)
+    # speed 0 -> only column 0 (threshold 0) filled; speed >= max -> none dim.
+    assert dim[0, 0].sum() == style.width - 1
+    assert dim[2].sum() == 0 and dim[3].sum() == 0
+    # Monotone: more speed, fewer dim columns.
+    counts = dim.reshape(4, -1).sum(axis=1)
+    assert counts[0] > counts[1] > counts[2] == counts[3]
+    # Border stays opaque black.
+    assert (frames[:, 0, :, 3] == 255).all()

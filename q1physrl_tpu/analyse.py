@@ -14,6 +14,7 @@ calls, analyse.py:99-118).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import sys
 from pathlib import Path
 
@@ -206,6 +207,33 @@ def eval_sim(policy, env_config: Config, *, seed: int = 0,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _zero_start_runner(cfg: Config, n: int, steps: int, deterministic: bool):
+    """Compiled zero-start episode batch, cached per (config, geometry) —
+    params are a runtime argument, so evaluating many checkpoints (e.g. a
+    sweep's members) reuses one compilation."""
+
+    def run(params, key_reset, key_policy):
+        def body(carry, _):
+            st, rng, ret, alive = carry
+            obs = env_core.compute_obs(cfg, st.player, st.yaw,
+                                       st.time_remaining)
+            rng, k = jax.random.split(rng)
+            ka, ya = _policy_from(params, cfg, deterministic)(obs, k)
+            st, out = env_core.step(cfg, st, ka, ya,
+                                    compute_observation=False)
+            ret = ret + out.reward * alive
+            alive = alive & ~out.done
+            return (st, rng, ret, alive), None
+
+        state = env_core.reset(cfg, key_reset, n)
+        init = (state, key_policy, jnp.zeros(n), jnp.ones(n, bool))
+        (_, _, ret, _), _ = jax.lax.scan(body, init, None, length=steps)
+        return ret
+
+    return jax.jit(run)
+
+
 def eval_zero_start(policy, env_config: Config, *, num_episodes: int = 512,
                     deterministic: bool = False, seed: int = 0) -> dict:
     """Batch-evaluate zero-start performance: the proper, low-variance
@@ -216,24 +244,34 @@ def eval_zero_start(policy, env_config: Config, *, num_episodes: int = 512,
     jitted scan and returns summary stats.
     """
     cfg = dataclasses.replace(env_config, num_envs=None, zero_start_prob=1.0)
-    policy_fn = _policy_from(policy, cfg, deterministic)
     n = num_episodes
     steps = int(np.ceil(cfg.time_limit / cfg.time_delta)) + 2
 
-    def body(carry, _):
-        st, rng, ret, alive = carry
-        obs = env_core.compute_obs(cfg, st.player, st.yaw, st.time_remaining)
-        rng, k = jax.random.split(rng)
-        ka, ya = policy_fn(obs, k)
-        st, out = env_core.step(cfg, st, ka, ya, compute_observation=False)
-        ret = ret + out.reward * alive
-        alive = alive & ~out.done
-        return (st, rng, ret, alive), None
+    if callable(policy) and not isinstance(policy, dict):
+        # Scripted policies close over arbitrary Python state — compile
+        # per call (rare, test-only path).
+        policy_fn = _policy_from(policy, cfg, deterministic)
 
-    state = env_core.reset(cfg, jax.random.key(seed), n)
-    init = (state, jax.random.key(seed + 1), jnp.zeros(n), jnp.ones(n, bool))
-    (_, _, ret, _), _ = jax.jit(
-        lambda c: jax.lax.scan(body, c, None, length=steps))(init)
+        def body(carry, _):
+            st, rng, ret, alive = carry
+            obs = env_core.compute_obs(cfg, st.player, st.yaw,
+                                       st.time_remaining)
+            rng, k = jax.random.split(rng)
+            ka, ya = policy_fn(obs, k)
+            st, out = env_core.step(cfg, st, ka, ya,
+                                    compute_observation=False)
+            ret = ret + out.reward * alive
+            alive = alive & ~out.done
+            return (st, rng, ret, alive), None
+
+        state = env_core.reset(cfg, jax.random.key(seed), n)
+        init = (state, jax.random.key(seed + 1), jnp.zeros(n),
+                jnp.ones(n, bool))
+        (_, _, ret, _), _ = jax.jit(
+            lambda c: jax.lax.scan(body, c, None, length=steps))(init)
+    else:
+        run = _zero_start_runner(cfg, n, steps, deterministic)
+        ret = run(policy, jax.random.key(seed), jax.random.key(seed + 1))
     ret = np.asarray(ret)
     return {
         "mean": float(ret.mean()), "median": float(np.median(ret)),

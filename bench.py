@@ -132,9 +132,11 @@ def bench_train(reps=3):
     return rates[len(rates) // 2]
 
 
-def main():
-    # The chip does not share well between processes: warn if a training
-    # loop appears to be running (the bench may starve behind it).
+def _detect_contention() -> int:
+    """Count live training processes sharing the chip.  The chip does not
+    share well between processes; a contended bench measures nothing real
+    (VERDICT r2 weak-point 2), so contention is recorded in the result JSON
+    rather than only warned about."""
     try:
         import subprocess
 
@@ -146,8 +148,13 @@ def main():
         if trainers:
             log(f"WARNING: {len(trainers)} training process(es) running; "
                 "bench numbers may be degraded or stall")
+        return len(trainers)
     except Exception:
-        pass
+        return 0
+
+
+def main():
+    contended = _detect_contention()
     try:
         from q1physrl_tpu.algo.train import enable_compilation_cache
 
@@ -173,6 +180,8 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(best / baseline, 1),
     }
+    if contended:
+        result["contended"] = True
     try:
         train_rate = bench_train()
         result["train_steps_per_sec"] = round(train_rate, 1)

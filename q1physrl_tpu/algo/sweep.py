@@ -173,7 +173,7 @@ class PopulationTrainer:
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         return Coeffs(entropy_coeff=f32(e), lr=f32(l), kl_target=f32(k))
 
-    def _snapshot_best(self, i: int, iteration: int):
+    def _snapshot_best(self, i: int):
         d = f"{self.out_dir}/best_member_{i:02d}"
         tmp = d + ".tmp"
         _save_tree(tmp, _member_ckpt_tree(self.ts, i))
@@ -183,8 +183,11 @@ class PopulationTrainer:
             shutil.rmtree(d)
         os.rename(tmp, d)
         with open(f"{d}.json", "w") as f:
+            # iteration from the checkpoint's own field (post-increment),
+            # so the sidecar always agrees with the saved tree (ADVICE r2).
             json.dump({"member": i, "label": self.members[i].label,
-                       "iteration": iteration, "ema": self.ema[i],
+                       "iteration": int(np.asarray(self.ts.iteration)[i]),
+                       "ema": self.ema[i],
                        "env_steps": float(self.ts.env_steps[0])}, f)
 
     def train(self, max_env_steps: float,
@@ -223,7 +226,7 @@ class PopulationTrainer:
                         self.best_ema[m] = self.ema[m]
                         if i - self._last_snap[m] >= 25:
                             self._last_snap[m] = i
-                            self._snapshot_best(m, i)
+                            self._snapshot_best(m)
                 if i % 20 == 0:
                     for f in self._log_files:
                         f.flush()

@@ -178,7 +178,7 @@ def decode_actions(cfg: Config, state: EnvState, key_actions, yaw_action):
 
 
 def reset_from_uniforms(cfg: Config, u_zs, u_yaw, u_time, u_speed, u_angle,
-                        float_dtype=None, rng=None) -> EnvState:
+                        float_dtype=None, rng=None, flag_dtype=bool) -> EnvState:
     """Build fresh episode-start state from five uniform-[0,1) draw arrays
     (reference env.py:428-455).
 
@@ -187,6 +187,13 @@ def reset_from_uniforms(cfg: Config, u_zs, u_yaw, u_time, u_speed, u_angle,
     rollout kernels feed it in-kernel TPU-PRNG or HBM-streamed draws — so
     the kernels can be tested elementwise against :func:`step_autoreset`
     rather than only statistically.
+
+    ``flag_dtype`` controls the dtype of the boolean state leaves
+    (``on_ground``/``jump_released``/``zero_start``).  The XLA path uses
+    the default ``bool``; the Pallas kernels request ``int32`` because
+    Mosaic cannot lower bool-valued (i8/i1) vector constants and selects —
+    masks derived from fresh comparisons (i1) are fine, *stored* bool
+    vectors are not.
 
     Faithfully reproduces a reference quirk: the randomized draws call
     ``np.random.uniform(x, size=...)`` — i.e. low=x, high=1.0 — so
@@ -216,8 +223,8 @@ def reset_from_uniforms(cfg: Config, u_zs, u_yaw, u_time, u_speed, u_angle,
         vel_x=(speed * jnp.cos(move_angle)).astype(f32),
         vel_y=(speed * jnp.sin(move_angle)).astype(f32),
         vel_z=jnp.full(shape, INITIAL_STATE["vel"][2], f32),
-        on_ground=jnp.zeros(shape, bool),
-        jump_released=jnp.ones(shape, bool),
+        on_ground=jnp.zeros(shape, flag_dtype),
+        jump_released=jnp.ones(shape, flag_dtype),
     )
 
     nk = cfg.num_keys
@@ -225,7 +232,7 @@ def reset_from_uniforms(cfg: Config, u_zs, u_yaw, u_time, u_speed, u_angle,
         player=player,
         yaw=yaw.astype(float_dtype),
         time_remaining=time_remaining.astype(float_dtype),
-        zero_start=zero_start,
+        zero_start=zero_start.astype(flag_dtype),
         last_keys=jnp.zeros((nk,) + shape, jnp.int32),
         last_key_press_time=jnp.full((nk,) + shape, -cfg.key_press_delay,
                                      float_dtype),

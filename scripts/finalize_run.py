@@ -6,7 +6,11 @@ Produces in <out_dir>:
 - eval.json            stochastic/deterministic zero-start statistics
 - run.dem              demo of the deterministic zero-start run
 - checkpoint{,.tune_metadata}   RLLib-format export of the policy
+- native/ + native_meta.json    orbax export (the resumable source of truth)
 - behaviour.json       air-strafe diagnostics (jumps, wish angles, efficiency)
+
+eval.json's "checkpoint" names the committed native export (repo-relative);
+"source_checkpoint" records where the weights were restored from.
 """
 
 import json
@@ -35,10 +39,27 @@ def main(argv):
     print(f"checkpoint {path}: iter {int(ts.iteration)}, "
           f"{int(ts.env_steps):,} steps")
 
+    # Export the native (orbax) checkpoint into the bundle first so the
+    # recorded paths point at committed artifacts, not the (possibly
+    # ephemeral) restore source (ADVICE r2: eval.json provenance).
+    import orbax.checkpoint as ocp
+
+    native_dir = os.path.join(out_dir, "native")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(native_dir),
+                   jax.device_get(ckpt_mod._ckpt_tree(ts)), force=True)
+    with open(f"{out_dir}/native_meta.json", "w") as f:
+        json.dump({"iteration": int(ts.iteration),
+                   "env_steps": int(ts.env_steps),
+                   "run_yaml": run_yaml,
+                   "source_checkpoint": os.path.relpath(path)}, f, indent=1)
+
     sto = analyse.eval_zero_start(ts.params, run.env, num_episodes=512)
     det = analyse.eval_zero_start(ts.params, run.env, num_episodes=2,
                                   deterministic=True)
-    evals = {"checkpoint": path, "iteration": int(ts.iteration),
+    evals = {"checkpoint": os.path.relpath(native_dir),
+             "source_checkpoint": os.path.relpath(path),
+             "iteration": int(ts.iteration),
              "env_steps": int(ts.env_steps), "stochastic": sto,
              "deterministic": det["mean"]}
     print(json.dumps(evals, indent=1))

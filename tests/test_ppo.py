@@ -3,6 +3,7 @@ round-trip, and a does-it-learn smoke run.
 """
 
 import dataclasses
+import json
 
 import jax
 import jax.numpy as jnp
@@ -234,9 +235,13 @@ def test_population_sweep_trains_and_snapshots(tmp_path):
     p0 = jax.tree.leaves(pt.ts.params)[0]
     assert not np.allclose(np.asarray(p0[0]), np.asarray(p0[1]))
 
-    # Member snapshot -> standard single-run checkpoint format.
+    # Member snapshot -> standard single-run checkpoint format; the sidecar
+    # iteration must agree with the checkpoint's own field (ADVICE r2).
     pt.ema = [1.0, 2.0]
-    pt._snapshot_best(1, 6)
+    pt._snapshot_best(1)
+    with open(f"{out}/best_member_01.json") as f:
+        sidecar = json.load(f)
+    assert sidecar["iteration"] == int(np.asarray(pt.ts.iteration)[1])
     template = init_train_state(jax.random.key(0), env_cfg, ppo)
     ts = ck.restore_checkpoint(f"{out}/best_member_01", template)
     np.testing.assert_array_equal(

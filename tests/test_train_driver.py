@@ -39,6 +39,38 @@ def test_auto_resume_from_latest(tmp_path):
     assert int(t3.ts.iteration) == 0
 
 
+def test_resume_of_finished_run_exits_cleanly(tmp_path):
+    """Resuming a run whose budget is already spent must exit with a final
+    save and run ZERO further train iterations (VERDICT r2 weak-point 5:
+    the round-2 loop checked its budget only after stepping, so the
+    supervisor's restart-after-completion path re-trained one iteration —
+    and could hit an unbound ``last_saved`` on the final-save line)."""
+    run = RunConfig(ppo=PPOConfig(**SMOKE_PPO), max_iterations=2,
+                    checkpoint_dir=str(tmp_path))
+    t1 = Trainer(run)
+    t1.train()
+    steps_done = float(t1.ts.env_steps)
+
+    # Resume by max_iterations already reached.
+    t2 = Trainer(run)
+    t2.step = lambda: (_ for _ in ()).throw(
+        AssertionError("train_iter ran on a finished run"))
+    t2.train()  # must not raise (NameError or the poisoned step)
+    assert float(t2.ts.env_steps) == steps_done
+
+    # Resume by max_env_steps already reached.
+    run3 = dataclasses.replace(run, max_iterations=None,
+                               max_env_steps=steps_done)
+    t3 = Trainer(run3)
+    t3.step = t2.step
+    t3.train()
+    assert float(t3.ts.env_steps) == steps_done
+
+    # The clean exit still left a resumable checkpoint.
+    t4 = Trainer(run)
+    assert float(t4.ts.env_steps) == steps_done
+
+
 def test_best_stat_checkpoint_policy(tmp_path):
     """Save when any tracked stat beats its best or every N iterations;
     NaN stats never count (reference train.py:67-74, 119-133)."""

@@ -143,7 +143,17 @@ class PopulationTrainer:
             self.ts = self._restore_stacked(resume)
 
         self.ema = [float("nan")] * len(members)
-        self.best_ema = [-float("inf")] * len(members)
+        # On resume, seed best_ema from the existing snapshot sidecars so a
+        # restarted sweep cannot overwrite a better earlier best_member_XX
+        # with its (still-rebuilding) current EMA.
+        self.best_ema = []
+        for i in range(len(members)):
+            sidecar = f"{out_dir}/best_member_{i:02d}.json"
+            prev = -float("inf")
+            if resume and os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    prev = float(json.load(f).get("ema", prev))
+            self.best_ema.append(prev)
         self._last_snap = [-(10 ** 9)] * len(members)
         self._log_files = [open(f"{out_dir}/logs/member_{i:02d}.jsonl", "a")
                            for i in range(len(members))]
@@ -193,6 +203,9 @@ class PopulationTrainer:
     def train(self, max_env_steps: float,
               max_seconds: Optional[float] = None):
         i = int(np.asarray(self.ts.iteration)[0])
+        start_iter = i  # EMA warmup counts iterations of THIS process: a
+        # resumed sweep rebuilds its EMA from NaN, and the first few samples
+        # are single-iteration noise that must not trigger best-snapshots.
         t_start = time.time()
         steps_per_iter = self.ppo.batch_size
         try:
@@ -221,7 +234,7 @@ class PopulationTrainer:
                     # iterations so the EMA has support, and rate-limit the
                     # host-side saves so a steadily rising curve doesn't
                     # checkpoint every iteration.
-                    if (i > 30 and not math.isnan(self.ema[m])
+                    if (i - start_iter > 30 and not math.isnan(self.ema[m])
                             and self.ema[m] > self.best_ema[m] + 1e-6):
                         self.best_ema[m] = self.ema[m]
                         if i - self._last_snap[m] >= 25:

@@ -329,8 +329,15 @@ def rollout_actions_autoreset(cfg: Config, state: env_core.EnvState,
 
 
 def _uniform_from_bits(bits):
-    """uint32 random bits -> float32 uniform [0, 1)."""
-    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    """Random bits -> float32 uniform [0, 1).
+
+    ``pltpu.prng_random_bits`` returns *int32*, so a bare ``>> 8`` would be
+    an arithmetic shift that leaves half the draws negative (the round-3
+    on-chip stats check caught exactly that: ~51% of episode resets became
+    zero-starts because ``u < 0.01`` held for every negative u).  Masking
+    to the low 24 bits after the shift recovers the unsigned value.
+    """
+    return ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
 
 
 def rollout_random(cfg: Config, state: env_core.EnvState, t_steps: int,

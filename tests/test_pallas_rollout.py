@@ -9,8 +9,27 @@ import numpy as np
 
 from q1physrl_tpu import env as qenv
 from q1physrl_tpu.env import core
-from q1physrl_tpu.ops.env_rollout_pallas import (rollout_actions,
+from q1physrl_tpu.ops.env_rollout_pallas import (_uniform_from_bits,
+                                                 rollout_actions,
                                                  rollout_actions_autoreset)
+
+
+def test_uniform_from_bits_treats_int32_as_unsigned():
+    """pltpu.prng_random_bits returns int32; the uniform conversion must
+    match the unsigned interpretation of the bits (a bare arithmetic shift
+    left half the draws negative — caught by the round-3 on-chip stats
+    check, scripts/tpu_checks.py check [2])."""
+    rng = np.random.default_rng(0)
+    bits = np.concatenate([
+        rng.integers(-2**31, 2**31, 10000).astype(np.int32),
+        np.asarray([-1, -2**31, 0, 2**31 - 1], np.int32)])
+    u = np.asarray(_uniform_from_bits(jnp.asarray(bits)))
+    expected = ((bits.astype(np.uint32) >> 8).astype(np.float32)
+                * np.float32(2.0**-24))
+    np.testing.assert_array_equal(u, expected)
+    assert u.min() >= 0.0 and u.max() < 1.0
+    # Uniformity sanity: mean of the unsigned interpretation is ~0.5.
+    assert abs(float(u[:10000].mean()) - 0.5) < 0.02
 
 
 def test_rollout_actions_matches_scan():

@@ -30,8 +30,10 @@ def main(argv):
     from q1physrl_tpu import analyse, mkdemo, models
     from q1physrl_tpu.algo import checkpoint as ckpt_mod
     from q1physrl_tpu.algo.ppo import init_train_state
-    from q1physrl_tpu.algo.train import load_run_config
+    from q1physrl_tpu.algo.train import (enable_compilation_cache,
+                                         load_run_config)
 
+    enable_compilation_cache()
     run = load_run_config(run_yaml)
     template = init_train_state(jax.random.key(0), run.env, run.ppo)
     path = ckpt_mod.latest_checkpoint(ckpt_dir) or ckpt_dir

@@ -49,14 +49,17 @@ from .ppo import Coeffs, TrainState, init_train_state, train_iter
 __all__ = ("MemberSpec", "PopulationTrainer", "load_sweep", "main")
 
 # EMA halflife for the noisy per-iteration north-star metric (~1-2 zero-start
-# episodes per 50k-step iteration at zero_start_prob=0.01).
+# episodes per 50k-step iteration at zero_start_prob=0.01).  Sweeps at bigger
+# per-iteration batches (more zero-start episodes per sample) should raise it
+# via the ``ema_alpha`` sweep key so the EMA responds on a comparable
+# env-step (not iteration) timescale.
 EMA_ALPHA = 0.02
 
 
 @dataclasses.dataclass(frozen=True)
 class MemberSpec:
     seed: int
-    entropy: tuple          # ((env_step, coeff), ...)
+    entropy: tuple          # ((x, coeff), ...); x-axis per schedule_unit
     lr: tuple = ((0, 5e-6),)
     kl_target: float = 0.0036
     label: str = ""
@@ -66,9 +69,9 @@ class MemberSpec:
     # decorrelated trajectories.
     init_from: Optional[str] = None
 
-    def coeffs_at(self, env_steps: float) -> tuple:
-        e = _interp(self.entropy, env_steps)
-        l = _interp(self.lr, env_steps)
+    def coeffs_at(self, x: float) -> tuple:
+        e = _interp(self.entropy, x)
+        l = _interp(self.lr, x)
         return e, l, self.kl_target
 
 
@@ -107,7 +110,25 @@ def _save_tree(directory: str, tree) -> str:
 
 class PopulationTrainer:
     def __init__(self, run: RunConfig, members: list[MemberSpec],
-                 out_dir: str, checkpoint_every: int = 1000):
+                 out_dir: str, checkpoint_every: int = 1000,
+                 schedule_unit: str = "env_steps",
+                 ema_alpha: float = EMA_ALPHA,
+                 snapshot_min_interval: int = 25):
+        # schedule_unit sets the x-axis of every member schedule:
+        #   "env_steps"   — env steps collected (the historical unit);
+        #   "sgd_samples" — cumulative samples processed by SGD
+        #                   (= env_steps * num_sgd_iter).  This unit is
+        #                   GEOMETRY-INVARIANT: a recipe tuned at the
+        #                   reference's 400-env/30-epoch geometry transfers
+        #                   to chip-filling geometries with different
+        #                   epochs-per-sample by matching the gradient-work
+        #                   trajectory, not the data-collection trajectory
+        #                   (VERDICT r3 item 1: update-space schedules).
+        if schedule_unit not in ("env_steps", "sgd_samples"):
+            raise ValueError(f"unknown schedule_unit {schedule_unit!r}")
+        self.schedule_unit = schedule_unit
+        self.ema_alpha = ema_alpha
+        self.snapshot_min_interval = snapshot_min_interval
         self.run = run
         self.members = members
         self.out_dir = out_dir
@@ -152,9 +173,16 @@ class PopulationTrainer:
             prev = -float("inf")
             if resume and os.path.exists(sidecar):
                 with open(sidecar) as f:
-                    prev = float(json.load(f).get("ema", prev))
+                    d = json.load(f)
+                prev = max(float(d.get("ema", prev)),
+                           float(d.get("best_ema", prev)))
             self.best_ema.append(prev)
         self._last_snap = [-(10 ** 9)] * len(members)
+        # A best-EMA rise suppressed by the snapshot rate limit is
+        # remembered here and flushed in train()'s finally block, so a
+        # peak inside the rate-limit window is never lost to a run end or
+        # supervisor kill (ADVICE r3).
+        self._pending_snap = [False] * len(members)
         self._log_files = [open(f"{out_dir}/logs/member_{i:02d}.jsonl", "a")
                            for i in range(len(members))]
         with open(f"{out_dir}/members.json", "w") as f:
@@ -178,7 +206,10 @@ class PopulationTrainer:
             iteration=tree["iteration"], env_steps=tree["env_steps"])
 
     def _coeffs(self, env_steps: float) -> Coeffs:
-        vals = [m.coeffs_at(env_steps) for m in self.members]
+        x = env_steps
+        if self.schedule_unit == "sgd_samples":
+            x = env_steps * self.ppo.num_sgd_iter
+        vals = [m.coeffs_at(x) for m in self.members]
         e, l, k = zip(*vals)
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         return Coeffs(entropy_coeff=f32(e), lr=f32(l), kl_target=f32(k))
@@ -192,12 +223,16 @@ class PopulationTrainer:
 
             shutil.rmtree(d)
         os.rename(tmp, d)
+        self._pending_snap[i] = False
         with open(f"{d}.json", "w") as f:
             # iteration from the checkpoint's own field (post-increment),
             # so the sidecar always agrees with the saved tree (ADVICE r2).
+            # "ema" is the EMA at save time; "best_ema" the peak threshold
+            # (they differ only for end-of-run flushes of a rate-limited
+            # pending best).
             json.dump({"member": i, "label": self.members[i].label,
                        "iteration": int(np.asarray(self.ts.iteration)[i]),
-                       "ema": self.ema[i],
+                       "ema": self.ema[i], "best_ema": self.best_ema[i],
                        "env_steps": float(self.ts.env_steps[0])}, f)
 
     def train(self, max_env_steps: float,
@@ -222,24 +257,28 @@ class PopulationTrainer:
                     zs = float(metrics["zero_start_total_reward_mean"][m])
                     if not math.isnan(zs):
                         prev = self.ema[m]
+                        a = self.ema_alpha
                         self.ema[m] = (zs if math.isnan(prev) else
-                                       (1 - EMA_ALPHA) * prev + EMA_ALPHA * zs)
+                                       (1 - a) * prev + a * zs)
                     row = {k: float(v[m]) for k, v in metrics.items()}
                     row.update(step=int(env_steps), iteration=i,
-                               zs_ema=self.ema[m],
+                               zs_ema=self.ema[m], t=time.time(),
                                entropy_coeff=float(coeffs.entropy_coeff[m]),
                                lr=float(coeffs.lr[m]))
                     self._log_files[m].write(json.dumps(row) + "\n")
                     # Snapshot on a new best smoothed north-star; warmup 30
                     # iterations so the EMA has support, and rate-limit the
                     # host-side saves so a steadily rising curve doesn't
-                    # checkpoint every iteration.
+                    # checkpoint every iteration.  A rise inside the
+                    # rate-limit window is flushed in the finally block.
                     if (i - start_iter > 30 and not math.isnan(self.ema[m])
                             and self.ema[m] > self.best_ema[m] + 1e-6):
                         self.best_ema[m] = self.ema[m]
-                        if i - self._last_snap[m] >= 25:
+                        if i - self._last_snap[m] >= self.snapshot_min_interval:
                             self._last_snap[m] = i
                             self._snapshot_best(m)
+                        else:
+                            self._pending_snap[m] = True
                 if i % 20 == 0:
                     for f in self._log_files:
                         f.flush()
@@ -255,6 +294,9 @@ class PopulationTrainer:
                     break
         finally:
             self._save_resume()
+            for m in range(len(self.members)):
+                if self._pending_snap[m]:
+                    self._snapshot_best(m)
             for f in self._log_files:
                 f.close()
         print(f"Sweep done: {i} iterations in "
@@ -289,9 +331,15 @@ def load_sweep(path: str):
         label=m.get("label", f"member{j}"),
         init_from=m.get("init_from"),
     ) for j, m in enumerate(spec["members"])]
+    trainer_kwargs = dict(
+        checkpoint_every=spec.get("checkpoint_every", 1000),
+        schedule_unit=spec.get("schedule_unit", "env_steps"),
+        ema_alpha=spec.get("ema_alpha", EMA_ALPHA),
+        snapshot_min_interval=spec.get("snapshot_min_interval", 25),
+    )
     return (run, members, spec["out_dir"],
             float(spec.get("max_env_steps", 4e8)),
-            spec.get("checkpoint_every", 1000),
+            trainer_kwargs,
             spec.get("max_seconds"))
 
 
@@ -300,9 +348,9 @@ def main(argv=None):
     from .train import enable_compilation_cache
 
     enable_compilation_cache()
-    run, members, out_dir, max_steps, ckpt_every, max_seconds = \
+    run, members, out_dir, max_steps, trainer_kwargs, max_seconds = \
         load_sweep(argv[0])
-    trainer = PopulationTrainer(run, members, out_dir, ckpt_every)
+    trainer = PopulationTrainer(run, members, out_dir, **trainer_kwargs)
     trainer.train(max_steps, max_seconds)
 
 

@@ -26,9 +26,10 @@ import jax
 import jax.numpy as jnp
 
 from ..algo.config import PPOConfig
-from ..algo.ppo import (Batch, EpisodeStats, TrainState, _interp_schedule,
-                        compute_gae, init_train_state, make_optimizer,
-                        ppo_loss, rollout, train_iter, update_kl_coeff)
+from ..algo.ppo import (Batch, Coeffs, EpisodeStats, TrainState,
+                        _interp_schedule, _override_lr, compute_gae,
+                        init_train_state, make_optimizer, ppo_loss, rollout,
+                        train_iter, update_kl_coeff)
 from ..env.config import Config as EnvConfig
 from .mesh import DATA_AXIS
 
@@ -43,11 +44,19 @@ __all__ = ("make_spmd_train_iter",)
 from .mesh import train_state_specs as _train_state_specs  # shared layout
 
 
-def make_spmd_train_iter(env_cfg: EnvConfig, ppo: PPOConfig, mesh):
+def make_spmd_train_iter(env_cfg: EnvConfig, ppo: PPOConfig, mesh,
+                         with_coeffs: bool = False):
     """Build a jitted shard_map train iteration for the given mesh.
 
     Returns ``fn(ts) -> (ts, metrics)`` where ``ts`` must be placed with
     ``shard_train_state(ts, mesh)``.
+
+    With ``with_coeffs=True`` the returned function is
+    ``fn(ts, coeffs: Coeffs) -> (ts, metrics)``: entropy/lr/kl_target become
+    runtime scalars (replicated over the mesh), exactly mirroring
+    ``train_iter(..., coeffs)`` — this is what lets population sweeps
+    (algo/sweep.py host-driven schedules) run on the explicit-SPMD path
+    without a recompile per schedule variant.
     """
     n_dev = mesh.size
     assert ppo.num_envs % n_dev == 0
@@ -56,7 +65,7 @@ def make_spmd_train_iter(env_cfg: EnvConfig, ppo: PPOConfig, mesh):
         ppo, num_envs=ppo.num_envs // n_dev,
         sgd_minibatch_size=max(1, ppo.sgd_minibatch_size // n_dev))
 
-    def per_device(ts: TrainState):
+    def per_device(ts: TrainState, coeffs: Coeffs | None = None):
         axis = jax.lax.axis_index(DATA_AXIS)
         # Decorrelate per-device RNG streams.
         rng = jax.random.fold_in(ts.rng, axis)
@@ -96,13 +105,19 @@ def make_spmd_train_iter(env_cfg: EnvConfig, ppo: PPOConfig, mesh):
             value_target=flat(value_targets),
         )
 
-        if ppo.entropy_coeff_schedule is not None:
-            entropy_coeff = _interp_schedule(ppo.entropy_coeff_schedule,
-                                             ts.env_steps)
+        if coeffs is not None:
+            entropy_coeff, lr, kl_target = coeffs
         else:
-            entropy_coeff = ppo.entropy_coeff
+            lr = kl_target = None
+            if ppo.entropy_coeff_schedule is not None:
+                entropy_coeff = _interp_schedule(ppo.entropy_coeff_schedule,
+                                                 ts.env_steps)
+            else:
+                entropy_coeff = ppo.entropy_coeff
 
         tx = make_optimizer(ppo)
+        opt_state0 = (ts.opt_state if lr is None
+                      else _override_lr(ts.opt_state, lr))
         n_mb = local_ppo.num_minibatches
         mb_size = local_ppo.batch_size // n_mb
         grad_fn = jax.grad(
@@ -133,9 +148,10 @@ def make_spmd_train_iter(env_cfg: EnvConfig, ppo: PPOConfig, mesh):
         rng, k = jax.random.split(rng)
         epoch_keys = jax.random.split(k, ppo.num_sgd_iter)
         (params, opt_state), aux = jax.lax.scan(
-            epoch_step, (ts.params, ts.opt_state), epoch_keys)
+            epoch_step, (ts.params, opt_state0), epoch_keys)
         last_aux = jax.tree.map(lambda x: x[-1], aux)
-        kl_coeff = update_kl_coeff(ppo, ts.kl_coeff, last_aux["kl"])
+        kl_coeff = update_kl_coeff(ppo, ts.kl_coeff, last_aux["kl"],
+                                   kl_target)
 
         # Global episode metrics: psum the scalar accumulators.
         g = lambda x: jax.lax.psum(x, DATA_AXIS)
@@ -197,11 +213,22 @@ def make_spmd_train_iter(env_cfg: EnvConfig, ppo: PPOConfig, mesh):
         lambda t: train_iter(env_cfg, tiny, t), ts_shape)
     metric_specs = {k: P() for k in metrics_shape}
 
-    def fn(ts: TrainState):
-        in_specs = _train_state_specs(ts)
-        out_state_specs = _train_state_specs(ts)
-        mapped = shard_map(per_device, mesh=mesh, in_specs=(in_specs,),
-                           out_specs=(out_state_specs, metric_specs))
-        return mapped(ts)
+    if with_coeffs:
+        coeff_specs = Coeffs(entropy_coeff=P(), lr=P(), kl_target=P())
+
+        def fn(ts: TrainState, coeffs: Coeffs):
+            in_specs = (_train_state_specs(ts), coeff_specs)
+            out_state_specs = _train_state_specs(ts)
+            mapped = shard_map(per_device, mesh=mesh, in_specs=in_specs,
+                               out_specs=(out_state_specs, metric_specs))
+            return mapped(ts, coeffs)
+    else:
+        def fn(ts: TrainState):
+            in_specs = _train_state_specs(ts)
+            out_state_specs = _train_state_specs(ts)
+            mapped = shard_map(lambda t: per_device(t), mesh=mesh,
+                               in_specs=(in_specs,),
+                               out_specs=(out_state_specs, metric_specs))
+            return mapped(ts)
 
     return jax.jit(fn)

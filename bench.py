@@ -162,32 +162,62 @@ def main():
     except Exception as e:
         log(f"compilation cache unavailable: {e}")
     log(f"devices: {jax.devices()}")
-    best = 0.0
+    best_xla = 0.0
     for n, t in [(1 << 19, 256), (1 << 20, 256)]:
         try:
-            best = max(best, bench_env(n, t))
+            best_xla = max(best_xla, bench_env(n, t))
         except Exception as e:  # e.g. OOM at the largest size
             log(f"xla n={n}: {type(e).__name__}: {e}")
+    best_pallas = 0.0
     for n, be in [(1 << 20, 16384), (1 << 20, 32768)]:
         try:
-            best = max(best, bench_env_pallas(n, block_envs=be))
+            best_pallas = max(best_pallas, bench_env_pallas(n, block_envs=be))
         except Exception as e:
             log(f"pallas n={n} be={be}: {type(e).__name__}: {e}")
-    baseline = 1552.0  # reference end-to-end training steps/s (BASELINE.md)
-    result = {
-        "metric": "env_steps_per_sec",
-        "value": round(best, 1),
-        "unit": "steps/s",
-        "vs_baseline": round(best / baseline, 1),
-    }
-    if contended:
-        result["contended"] = True
+    train_rate = None
     try:
         train_rate = bench_train()
-        result["train_steps_per_sec"] = round(train_rate, 1)
-        result["train_vs_baseline"] = round(train_rate / baseline, 1)
     except Exception as e:
         log(f"train bench failed: {type(e).__name__}: {e}")
+
+    # Headline honesty (VERDICT r3 item 8): the parsed metric/vs_baseline
+    # pair is the END-TO-END TRAINING throughput against the reference's
+    # end-to-end 1,552 steps/s — apples to apples.  The env-kernel numbers
+    # are reported alongside under explicit names; their only like-for-like
+    # baseline is BASELINE.md's 10M steps/s single-chip target (the
+    # reference has no env-only benchmark).
+    baseline = 1552.0  # reference end-to-end training steps/s (BASELINE.md)
+    env_best = max(best_xla, best_pallas)
+    if train_rate is not None:
+        result = {
+            "metric": "train_steps_per_sec",
+            "value": round(train_rate, 1),
+            "unit": "steps/s",
+            "vs_baseline": round(train_rate / baseline, 1),
+        }
+    else:  # degraded: report the env kernel, clearly labeled
+        result = {
+            "metric": "env_kernel_steps_per_sec",
+            "value": round(env_best, 1),
+            "unit": "steps/s",
+            "vs_baseline": round(env_best / 1e7, 1),  # vs 10M/s target
+        }
+    result.update(
+        env_kernel_steps_per_sec=round(best_pallas, 1),
+        env_xla_steps_per_sec=round(best_xla, 1),
+        env_vs_10M_target=round(env_best / 1e7, 1),
+        # Env-only kernel over the reference's FULL-LOOP figure — kept under
+        # an explicit apples-to-oranges name, never as the headline ratio.
+        env_kernel_vs_reference_full_loop=round(env_best / baseline, 1),
+    )
+    if train_rate is not None:
+        result["train_steps_per_sec"] = round(train_rate, 1)
+        result["train_vs_baseline"] = round(train_rate / baseline, 1)
+    # Re-sample contention AFTER the (multi-minute) benches: a trainer
+    # started mid-bench degrades the numbers just as silently (ADVICE r3).
+    contended = _detect_contention() or contended
+    if contended:
+        result["contended"] = True
     print(json.dumps(result), flush=True)
 
 

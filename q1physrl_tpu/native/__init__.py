@@ -15,7 +15,8 @@ import subprocess
 
 import numpy as np
 
-__all__ = ("available", "apply", "trajectory")
+__all__ = ("available", "apply", "trajectory",
+           "dem_available", "parse_demo")
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -122,3 +123,54 @@ def trajectory(inputs_seq, state0):
     out["on_ground"] = out["on_ground"].astype(bool)
     out["jump_released"] = out["jump_released"].astype(bool)
     return out
+
+
+_DEM_LIB_PATH = os.path.join(_NATIVE_DIR, "libdemparse.so")
+_dem_lib = None
+
+
+def _load_dem():
+    global _dem_lib
+    if _dem_lib is not None:
+        return _dem_lib
+    if not os.path.exists(_DEM_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR, "libdemparse.so"],
+                       check=True, capture_output=True)
+    lib = ctypes.CDLL(_DEM_LIB_PATH)
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    lib.dem_parse.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                              f64p, f32p, f32p,
+                              ctypes.POINTER(ctypes.c_double)]
+    lib.dem_parse.restype = ctypes.c_long
+    _dem_lib = lib
+    return lib
+
+
+def dem_available() -> bool:
+    try:
+        _load_dem()
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def parse_demo(fname, max_records: int = 1 << 20):
+    """Parse a .dem via the independent C++ protocol implementation
+    (native/demparse.cpp) -> (times, origins, yaws, finish_time), matching
+    the shape contract of utils.demfile.parse_demo.  Exists to
+    cross-validate the Python protocol code against a second reading of
+    the engine wire format (the reference's equivalent oracle is pyquake,
+    reference analyse.py:34-68)."""
+    lib = _load_dem()
+    times = np.empty(max_records, np.float64)
+    origins = np.empty((max_records, 3), np.float32)
+    yaws = np.empty(max_records, np.float32)
+    finish = ctypes.c_double(-1.0)
+    n = lib.dem_parse(os.fsencode(fname), max_records, times,
+                      origins.reshape(-1), yaws, ctypes.byref(finish))
+    if n < 0:
+        raise ValueError(f"dem_parse failed with code {n} on {fname}")
+    finish_time = None if finish.value < 0 else finish.value
+    return (times[:n].copy(), origins[:n].copy(), yaws[:n].copy(),
+            finish_time)

@@ -353,6 +353,11 @@ def rollout_random(cfg: Config, state: env_core.EnvState, t_steps: int,
     benchmark configuration; semantics match ``step_autoreset`` with a
     Bernoulli(0.5)-keys/uniform-mouse policy up to PRNG stream identity.
 
+    ``seed`` may be a Python int or a traced int32 scalar — it enters the
+    kernel as an SMEM scalar, which is what lets a ``shard_map`` wrapper
+    (ops/sharded_rollout.py) decorrelate per-device PRNG streams with an
+    ``axis_index``-derived offset.
+
     Returns (EnvState, reward_sum (N,), done_count ()).
     """
     n = state.num_envs
@@ -360,13 +365,14 @@ def rollout_random(cfg: Config, state: env_core.EnvState, t_steps: int,
     nb = n // block_envs
     b = blockify_state(state, block_envs)
     nk = cfg.num_keys
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
-    def kernel(*refs):
+    def kernel(seed_ref, *refs):
         in_refs = _Blocked(*refs[:_N_STATE])
         out_refs = _Blocked(*refs[_N_STATE:2 * _N_STATE])
         reward_ref, done_ref = refs[2 * _N_STATE:]
         i = pl.program_id(0)
-        pltpu.prng_seed(seed + i)
+        pltpu.prng_seed(seed_ref[0, 0] + i)
 
         init = tuple(ref[...] for ref in in_refs) + (
             jnp.zeros((1, r, LANES), jnp.float32),
@@ -417,6 +423,8 @@ def rollout_random(cfg: Config, state: env_core.EnvState, t_steps: int,
                               memory_space=pltpu.VMEM)
     keyed_spec = pl.BlockSpec((nk, 1, r, LANES), lambda i: (0, i, 0, 0),
                               memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
     specs = [state_spec] * 9 + [keyed_spec, keyed_spec]
     out_shapes = (
         tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in b)
@@ -427,11 +435,11 @@ def rollout_random(cfg: Config, state: env_core.EnvState, t_steps: int,
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=specs,
+        in_specs=[seed_spec] + specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(*b)
+    )(seed_arr, *b)
 
     new_b = _Blocked(*outs[:_N_STATE])
     reward_sum = outs[_N_STATE].reshape(n)

@@ -1,0 +1,118 @@
+"""shard_map composition of the fused Pallas rollout kernels.
+
+The kernels in :mod:`env_rollout_pallas` are single-device programs: one
+grid over the local env blocks, state resident in VMEM.  Scaling the
+~4.9 B env-steps/s path past one chip needs no new communication — the env
+batch is embarrassingly parallel over its trailing axis — so the multi-chip
+story is exactly ``shard_map`` over the mesh's ``data`` axis with the
+kernel running unchanged on each device's shard (VERDICT r3 item 6).
+
+Per-device PRNG decorrelation for :func:`sharded_rollout_random` rides the
+kernel's SMEM seed input: each device seeds with
+``seed + axis_index * _SEED_STRIDE`` so no two devices (and no two of a
+device's grid blocks, which add ``program_id``) share a stream, as long as
+the per-device block count stays below the stride.
+
+Reference counterpart: the reference scales rollouts by adding Ray worker
+processes (reference train.py:46-64, data/params.yml:9); here a rollout
+scales by widening the mesh axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..env import core as env_core
+from ..env.config import Config
+from ..parallel.mesh import DATA_AXIS, env_axis_spec
+from . import env_rollout_pallas as kern
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ("sharded_rollout_actions", "sharded_rollout_actions_autoreset",
+           "sharded_rollout_random")
+
+# Max per-device grid blocks before PRNG streams could collide across
+# devices.  65536-env blocks at this stride allow 6.8 B envs per device.
+_SEED_STRIDE = 100003
+
+
+def sharded_rollout_actions(cfg: Config, state: env_core.EnvState,
+                            key_actions, yaw_actions, mesh, *,
+                            block_envs: int = 1024,
+                            interpret: bool = False):
+    """``rollout_actions`` sharded over the mesh ``data`` axis.
+
+    Arguments and returns match :func:`env_rollout_pallas.rollout_actions`;
+    ``state`` leaves / actions must be sharded (or shardable) on their
+    trailing env axis.  Zero collectives: each device advances its own env
+    shard for all T steps.
+    """
+    state_specs = env_axis_spec(state)
+
+    def local(st, ka, ya):
+        return kern.rollout_actions(cfg, st, ka, ya, block_envs=block_envs,
+                                    interpret=interpret)
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # metadata, so the rep checker cannot type them; the specs above are
+    # the full contract.
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(state_specs, P(None, None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=(state_specs, P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        check_vma=False)
+    return fn(state, jnp.asarray(key_actions, jnp.int32),
+              jnp.asarray(yaw_actions, jnp.float32))
+
+
+def sharded_rollout_actions_autoreset(cfg: Config, state: env_core.EnvState,
+                                      key_actions, yaw_actions,
+                                      reset_uniforms, mesh, *,
+                                      block_envs: int = 1024,
+                                      interpret: bool = False):
+    """``rollout_actions_autoreset`` sharded over the mesh ``data`` axis."""
+    state_specs = env_axis_spec(state)
+
+    def local(st, ka, ya, ru):
+        return kern.rollout_actions_autoreset(
+            cfg, st, ka, ya, ru, block_envs=block_envs, interpret=interpret)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(state_specs, P(None, None, DATA_AXIS), P(None, DATA_AXIS),
+                  P(None, None, DATA_AXIS)),
+        out_specs=(state_specs, P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        check_vma=False)
+    return fn(state, jnp.asarray(key_actions, jnp.int32),
+              jnp.asarray(yaw_actions, jnp.float32),
+              jnp.asarray(reset_uniforms, jnp.float32))
+
+
+def sharded_rollout_random(cfg: Config, state: env_core.EnvState,
+                           t_steps: int, mesh, seed: int = 0, *,
+                           block_envs: int = 65536,
+                           interpret: bool = False):
+    """``rollout_random`` sharded over the mesh ``data`` axis.
+
+    Returns (EnvState sharded, reward_sum (N,) sharded, done_count ()
+    replicated — psum over the mesh).
+    """
+    state_specs = env_axis_spec(state)
+
+    def local(st):
+        dev_seed = seed + jax.lax.axis_index(DATA_AXIS) * _SEED_STRIDE
+        st2, reward_sum, done_count = kern.rollout_random(
+            cfg, st, t_steps, seed=dev_seed, block_envs=block_envs,
+            interpret=interpret)
+        return st2, reward_sum, jax.lax.psum(done_count, DATA_AXIS)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(state_specs,),
+                   out_specs=(state_specs, P(DATA_AXIS), P()),
+                   check_vma=False)
+    return fn(state)

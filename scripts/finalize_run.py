@@ -19,6 +19,15 @@ import sys
 
 sys.path.insert(0, ".")
 
+# Recorded paths are relative to the REPO ROOT, not the process cwd —
+# running the script from elsewhere must not break the repo-relative
+# provenance contract (ADVICE r3).
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _repo_rel(path: str) -> str:
+    return os.path.relpath(os.path.abspath(path), REPO_ROOT)
+
 import jax
 import numpy as np
 
@@ -54,13 +63,13 @@ def main(argv):
         json.dump({"iteration": int(ts.iteration),
                    "env_steps": int(ts.env_steps),
                    "run_yaml": run_yaml,
-                   "source_checkpoint": os.path.relpath(path)}, f, indent=1)
+                   "source_checkpoint": _repo_rel(path)}, f, indent=1)
 
     sto = analyse.eval_zero_start(ts.params, run.env, num_episodes=512)
     det = analyse.eval_zero_start(ts.params, run.env, num_episodes=2,
                                   deterministic=True)
-    evals = {"checkpoint": os.path.relpath(native_dir),
-             "source_checkpoint": os.path.relpath(path),
+    evals = {"checkpoint": _repo_rel(native_dir),
+             "source_checkpoint": _repo_rel(path),
              "iteration": int(ts.iteration),
              "env_steps": int(ts.env_steps), "stochastic": sto,
              "deterministic": det["mean"]}

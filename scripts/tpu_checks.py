@@ -8,6 +8,8 @@ the remaining surface on real hardware:
   2. rollout_random statistics vs the XLA random-policy rollout
      (different PRNG streams; distributions must agree).
   3. Full sharded train step on the real device (single chip).
+  5. shard_map-composed Pallas rollouts == unsharded kernels on a
+     single-device mesh (exact; the multi-chip path's on-hardware form).
 
 usage: python scripts/tpu_checks.py
 """
@@ -151,10 +153,54 @@ def check_train_step():
           f"entropy {float(m['entropy']):.2f}  OK ({time.time()-t0:.1f}s)")
 
 
+def check_sharded_rollout():
+    """shard_map composition of the Pallas kernels on the real chip
+    (single-device mesh; VERDICT r3 item 6).  With one device the
+    axis_index seed offset is zero, so sharded_rollout_random must
+    reproduce plain rollout_random EXACTLY, and sharded_rollout_actions
+    must match the unsharded kernel bit-for-bit."""
+    from q1physrl_tpu import env as qenv
+    from q1physrl_tpu.env import core
+    from q1physrl_tpu.ops.env_rollout_pallas import (rollout_actions,
+                                                     rollout_random)
+    from q1physrl_tpu.ops.sharded_rollout import (sharded_rollout_actions,
+                                                  sharded_rollout_random)
+    from q1physrl_tpu.parallel import make_mesh, shard_env_axis
+
+    cfg = dataclasses.replace(qenv.Config.get_default(), num_envs=None)
+    mesh = make_mesh(1)
+    n, t = 4096, 64
+    state = jax.jit(core.reset, static_argnums=(0, 2, 3))(
+        cfg, jax.random.key(0), n, jnp.float32)
+    rng = np.random.default_rng(2)
+    ka = jnp.asarray(rng.integers(0, 2, (t, cfg.num_keys, n)), jnp.int32)
+    ya = jnp.asarray(rng.uniform(-10, 10, (t, n)), jnp.float32)
+
+    _, r_ref, d_ref = jax.jit(
+        lambda s: rollout_actions(cfg, s, ka, ya, block_envs=2048))(state)
+    sh_state = shard_env_axis(state, mesh)
+    _, r_sh, d_sh = jax.jit(
+        lambda s: sharded_rollout_actions(cfg, s, ka, ya, mesh,
+                                          block_envs=2048))(sh_state)
+    assert bool((r_sh == r_ref).all()) and bool((d_sh == d_ref).all())
+
+    _, rsum_ref, dcnt_ref = jax.jit(
+        lambda s: rollout_random(cfg, s, t, seed=5, block_envs=2048))(state)
+    _, rsum_sh, dcnt_sh = jax.jit(
+        lambda s: sharded_rollout_random(cfg, s, t, mesh, seed=5,
+                                         block_envs=2048))(sh_state)
+    assert bool((rsum_sh == rsum_ref).all()), (
+        float(jnp.abs(rsum_sh - rsum_ref).max()))
+    assert float(dcnt_sh) == float(dcnt_ref)
+    print(f"[5] sharded Pallas rollout (1-dev mesh) == unsharded: "
+          f"actions exact, random exact (dones {float(dcnt_sh):.0f})  OK")
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     check_rollout_actions_parity()
     check_rollout_actions_autoreset_parity()
     check_rollout_random_stats()
     check_train_step()
+    check_sharded_rollout()
     print("all TPU checks passed")

@@ -91,16 +91,24 @@ def _make_observation(client, time_remaining, config: Config):
     return obs / np.asarray(get_obs_scale(config))
 
 
-async def _eval_coro(config: Config, port, policy_fn, demo_file):
+async def _eval_coro(config: Config, port, policy_fn, demo_file, *,
+                     host: str = "localhost", client_cls=None):
     """Lockstep eval loop against a +sync_movements quakespasm server
-    (reference mkdemo.py:58-92)."""
-    import pyquake.client
+    (reference mkdemo.py:58-92).
 
+    The game client defaults to the framework's own protocol-15
+    implementation (utils/netclient.AsyncClient — real UDP, real wire
+    bytes; the reference used the external pyquake package here).
+    ``client_cls`` accepts any object with the same surface (pyquake's
+    AsyncClient works unchanged, as do test mocks)."""
     from .env import core as env_core
     from .env.config import INITIAL_YAW_ZERO
     import jax.numpy as jnp
 
-    client = await pyquake.client.AsyncClient.connect("localhost", port)
+    if client_cls is None:
+        from .utils.netclient import AsyncClient as client_cls
+
+    client = await client_cls.connect(host, port)
     cfg = dataclasses.replace(config, num_envs=None)
     # Decoder state, driven functionally.
     state = env_core.reset(cfg, jax.random.key(0), 1)
@@ -151,15 +159,6 @@ async def make_demo(checkpoint_fname, run_yaml, quakespasm_binary_fname,
     the real engine, record a demo (reference mkdemo.py:95-149)."""
     import asyncio
     import signal
-
-    try:
-        import pyquake  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "make_demo requires the real-engine bridge (pyquake + a "
-            "modified quakespasm with +sync_movements; see the reference "
-            "Dockerfile).  Use export_sim_demo for engine-free export."
-        ) from e
 
     from .algo import checkpoint as ckpt_mod
     from .algo.ppo import init_train_state

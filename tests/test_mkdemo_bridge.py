@@ -151,18 +151,14 @@ def test_eval_coro_matches_sim(monkeypatch):
     cfg = dataclasses.replace(Config.get_default(), num_envs=None,
                               zero_start_prob=1.0)
 
-    # --- real-game path, engine mocked -------------------------------
-    pyquake = types.ModuleType("pyquake")
-    client_mod = types.ModuleType("pyquake.client")
-    client_mod.AsyncClient = MockAsyncClient
-    pyquake.client = client_mod
-    monkeypatch.setitem(sys.modules, "pyquake", pyquake)
-    monkeypatch.setitem(sys.modules, "pyquake.client", client_mod)
+    # --- real-game path, engine mocked (injected client class; the
+    # real-socket path is tests/test_netclient.py) ---------------------
     MockAsyncClient._cfg = cfg
 
     sink = io.BytesIO()
     obs_real, actions_real = asyncio.run(
-        mkdemo._eval_coro(cfg, 26000, _scripted_policy(cfg), sink))
+        mkdemo._eval_coro(cfg, 26000, _scripted_policy(cfg), sink,
+                          client_cls=MockAsyncClient))
     assert sink.getvalue() == b"MOCKDEMO"
 
     # --- sim path: eager loop over core.step with the same script ----
@@ -199,13 +195,6 @@ def test_eval_coro_move_commands(monkeypatch):
     cfg = dataclasses.replace(Config.get_default(), num_envs=None,
                               zero_start_prob=1.0)
 
-    pyquake = types.ModuleType("pyquake")
-    client_mod = types.ModuleType("pyquake.client")
-    client_mod.AsyncClient = MockAsyncClient
-    pyquake.client = client_mod
-    monkeypatch.setitem(sys.modules, "pyquake", pyquake)
-    monkeypatch.setitem(sys.modules, "pyquake.client", client_mod)
-
     captured = {}
     orig_connect = MockAsyncClient.connect.__func__
 
@@ -219,7 +208,8 @@ def test_eval_coro_move_commands(monkeypatch):
     MockAsyncClient._cfg = cfg
 
     asyncio.run(mkdemo._eval_coro(cfg, 26000, _scripted_policy(cfg),
-                                  io.BytesIO()))
+                                  io.BytesIO(),
+                                  client_cls=MockAsyncClient))
     client = captured["client"]
     moves = client.moves[1:]  # drop the spawn-sync zero move
 

@@ -345,7 +345,15 @@ def load_sweep(path: str):
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    import signal
+
     from .train import enable_compilation_cache
+
+    # A plain SIGTERM (manual run management) must still run the train()
+    # finally block — resume state + pending best-snapshot flush — so a
+    # terminated sweep loses nothing.  (The supervisor's stale-kill is
+    # SIGKILL; that path is covered by the periodic stacked checkpoint.)
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
 
     enable_compilation_cache()
     run, members, out_dir, max_steps, trainer_kwargs, max_seconds = \

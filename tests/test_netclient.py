@@ -175,3 +175,34 @@ def test_packet_layer_reliable_ack_roundtrip():
     assert (kind2, payload2) == ("unreliable", b"frame2")
     kind1, _ = rx.decode(p1)  # late/stale -> dropped
     assert kind1 is None
+
+
+def test_packet_layer_fragmented_reliable_reassembly():
+    """A reliable message split across NETFLAG_DATA fragments (EOM only on
+    the last) reassembles in order; each fragment is acked."""
+    import struct
+
+    from q1physrl_tpu.utils.netclient import (NETFLAG_DATA, NETFLAG_EOM,
+                                              NetQuakePacketLayer, _header)
+
+    class _Capture:
+        def __init__(self):
+            self.sent = []
+
+        def sendto(self, data, addr):
+            self.sent.append(data)
+
+    rx = NetQuakePacketLayer(_Capture(), ("y", 2))
+    frags = [b"aaa", b"bbbb", b"cc"]
+    out = []
+    for i, frag in enumerate(frags):
+        flags = NETFLAG_DATA | (NETFLAG_EOM if i == len(frags) - 1 else 0)
+        pkt = _header(flags | (len(frag) + 8), i) + frag
+        kind, payload = rx.decode(pkt)
+        out.append((kind, payload))
+    assert out[:2] == [(None, b""), (None, b"")]
+    assert out[2] == ("reliable", b"aaabbbbcc")
+    # A duplicate fragment (stale sequence) does not corrupt the stream.
+    pkt = _header(NETFLAG_DATA | NETFLAG_EOM | (2 + 8), 1) + b"zz"
+    kind, _ = rx.decode(pkt)
+    assert kind is None

@@ -78,6 +78,21 @@ class PPOConfig:
         d.update(overrides)
         return cls(**d)
 
+    @classmethod
+    def tpu_fresh(cls, **overrides):
+        """Fresh-data TPU geometry (the round-4 winner of the chip-geometry
+        ablation, docs/RESULTS.md): keep the reference recipe's per-update
+        structure exactly (minibatch 128, lr 5e-6) but revisit each sample
+        3x instead of 30x and collect 10x more data — on TPU the simulator
+        outpaces the learner by ~4,000x, so sample reuse buys nothing.
+        ~1.15M env-steps/s on one v5e; pair with sgd_samples-unit
+        schedules (algo/sweep.py) so recipes transfer by gradient-update
+        trajectory."""
+        d = dict(num_envs=8192, rollout_length=96,
+                 sgd_minibatch_size=128, num_sgd_iter=3, lr=5e-6)
+        d.update(overrides)
+        return cls(**d)
+
 
 @dataclasses.dataclass(frozen=True)
 class RunConfig:

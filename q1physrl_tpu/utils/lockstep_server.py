@@ -65,9 +65,15 @@ class LockstepServer:
     player physics."""
 
     def __init__(self, config: Optional[Config] = None,
-                 level_name: str = "100m"):
+                 level_name: str = "100m", finish_y: float = 3600.0):
         self.config = config or Config.get_default()
         self.level_name = level_name
+        # The 100m practice map's finish trigger is ~3600 units along +y
+        # from spawn; crossing it fires svc_intermission, exactly what the
+        # real map's trigger_changelevel does and what parse_demo uses for
+        # the finish time (reference analyse.py:66-67).
+        self.finish_y = finish_y
+        self.intermission_sent = False
         self._transport = None
         self._layer: Optional[NetQuakePacketLayer] = None
         self.port: Optional[int] = None
@@ -258,4 +264,9 @@ class LockstepServer:
         w.coord(self.origin[1])
         w.angle(self.yaw)
         w.coord(self.origin[2])
+
+        if (not self.intermission_sent
+                and self.origin[1] - SPAWN_ORIGIN[1] >= self.finish_y):
+            w.u8(SVC.INTERMISSION)
+            self.intermission_sent = True
         self._layer.send_unreliable(w.getvalue())

@@ -59,7 +59,7 @@ EMA_ALPHA = 0.02
 @dataclasses.dataclass(frozen=True)
 class MemberSpec:
     seed: int
-    entropy: tuple          # ((x, coeff), ...); x-axis per schedule_unit
+    entropy: tuple = ((0, 0.01),)  # ((x, coeff), ...); x per schedule_unit
     lr: tuple = ((0, 5e-6),)
     kl_target: float = 0.0036
     label: str = ""
@@ -68,11 +68,32 @@ class MemberSpec:
     # seed re-randomizes the rollout rng so warm-started members explore
     # decorrelated trajectories.
     init_from: Optional[str] = None
+    # ENTROPY-GATED schedule (alternative to the x-axis schedules above):
+    # stages of (policy_entropy_gate, entropy_coeff, lr).  Stage k+1
+    # activates once the MEASURED policy entropy falls to its gate —
+    # annealing keyed to how converged the policy actually is, not to how
+    # many samples have passed.  Different data-freshness regimes converge
+    # entropy at very different per-sample rates (docs/RESULTS.md round
+    # 4), so entropy-space is the regime-invariant anneal coordinate the
+    # way sgd_samples is the geometry-invariant one.  Stage 0's gate is
+    # ignored (entry stage); stages only advance, never retreat.
+    gates: Optional[tuple] = None
 
-    def coeffs_at(self, x: float) -> tuple:
+    def coeffs_at(self, x: float, stage: int = 0) -> tuple:
+        if self.gates is not None:
+            _, e, l = self.gates[stage]
+            return e, l, self.kl_target
         e = _interp(self.entropy, x)
         l = _interp(self.lr, x)
         return e, l, self.kl_target
+
+    def next_stage(self, stage: int, measured_entropy: float) -> int:
+        if self.gates is None or math.isnan(measured_entropy):
+            return stage
+        while (stage + 1 < len(self.gates)
+               and measured_entropy <= self.gates[stage + 1][0]):
+            stage += 1
+        return stage
 
 
 def _interp(schedule, x):
@@ -178,6 +199,10 @@ class PopulationTrainer:
                            float(d.get("best_ema", prev)))
             self.best_ema.append(prev)
         self._last_snap = [-(10 ** 9)] * len(members)
+        # Entropy-gated schedule stage per member.  Not persisted: after a
+        # resume, next_stage() re-derives the stage from the first
+        # iteration's measured entropy (gates are monotone).
+        self._stage = [0] * len(members)
         # A best-EMA rise suppressed by the snapshot rate limit is
         # remembered here and flushed in train()'s finally block, so a
         # peak inside the rate-limit window is never lost to a run end or
@@ -209,7 +234,8 @@ class PopulationTrainer:
         x = env_steps
         if self.schedule_unit == "sgd_samples":
             x = env_steps * self.ppo.num_sgd_iter
-        vals = [m.coeffs_at(x) for m in self.members]
+        vals = [m.coeffs_at(x, self._stage[i])
+                for i, m in enumerate(self.members)]
         e, l, k = zip(*vals)
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         return Coeffs(entropy_coeff=f32(e), lr=f32(l), kl_target=f32(k))
@@ -254,6 +280,8 @@ class PopulationTrainer:
                 dt = time.time() - t0
                 env_steps += steps_per_iter
                 for m in range(len(self.members)):
+                    self._stage[m] = self.members[m].next_stage(
+                        self._stage[m], float(metrics["entropy"][m]))
                     zs = float(metrics["zero_start_total_reward_mean"][m])
                     if not math.isnan(zs):
                         prev = self.ema[m]
@@ -264,7 +292,8 @@ class PopulationTrainer:
                     row.update(step=int(env_steps), iteration=i,
                                zs_ema=self.ema[m], t=time.time(),
                                entropy_coeff=float(coeffs.entropy_coeff[m]),
-                               lr=float(coeffs.lr[m]))
+                               lr=float(coeffs.lr[m]),
+                               stage=self._stage[m])
                     self._log_files[m].write(json.dumps(row) + "\n")
                     # Snapshot on a new best smoothed north-star; warmup 30
                     # iterations so the EMA has support, and rate-limit the
@@ -325,11 +354,13 @@ def load_sweep(path: str):
     run = load_run_config(spec["base"])
     members = [MemberSpec(
         seed=m["seed"],
-        entropy=tuple(tuple(p) for p in m["entropy"]),
+        entropy=tuple(tuple(p) for p in m.get("entropy", [[0, 0.01]])),
         lr=tuple(tuple(p) for p in m.get("lr", [[0, run.ppo.lr]])),
         kl_target=m.get("kl_target", run.ppo.kl_target),
         label=m.get("label", f"member{j}"),
         init_from=m.get("init_from"),
+        gates=(tuple(tuple(g) for g in m["gates"])
+               if m.get("gates") else None),
     ) for j, m in enumerate(spec["members"])]
     trainer_kwargs = dict(
         checkpoint_every=spec.get("checkpoint_every", 1000),

@@ -287,3 +287,44 @@ def test_sweep_schedule_units(tmp_path):
     with pytest.raises(ValueError):
         PopulationTrainer(run, [member], str(tmp_path / "c"),
                           schedule_unit="bogus")
+
+
+def test_sweep_entropy_gated_schedule(tmp_path):
+    """Entropy-gated anneal stages (round-4 machinery): stages advance when
+    the MEASURED policy entropy reaches each gate, never retreat, and are
+    re-derived after a resume from the live measurement."""
+    import dataclasses
+
+    from q1physrl_tpu import env as qenv
+    from q1physrl_tpu.algo import PPOConfig, RunConfig
+    from q1physrl_tpu.algo.sweep import MemberSpec, PopulationTrainer
+
+    gates = ((None, 0.03, 5e-6),      # entry stage
+             (3.0, 0.01, 5e-6),       # at entropy <= 3.0 nats
+             (1.5, 0.002, 1.5e-6))    # at entropy <= 1.5
+    m = MemberSpec(seed=1, gates=gates)
+
+    # next_stage mechanics (host-side, no training needed).
+    assert m.next_stage(0, 4.2) == 0
+    assert m.next_stage(0, 2.9) == 1
+    assert m.next_stage(0, 1.2) == 2          # skips straight through
+    assert m.next_stage(2, 5.0) == 2          # never retreats
+    assert m.next_stage(1, float("nan")) == 1
+
+    run = RunConfig(
+        env=dataclasses.replace(qenv.Config.get_default(), num_envs=None),
+        ppo=PPOConfig(num_envs=16, rollout_length=8, num_sgd_iter=2,
+                      sgd_minibatch_size=32))
+    pt = PopulationTrainer(run, [m], str(tmp_path / "g"))
+    c0 = pt._coeffs(0.0)
+    assert abs(float(c0.entropy_coeff[0]) - 0.03) < 1e-9
+    pt._stage[0] = 2
+    c2 = pt._coeffs(12345.0)  # x-axis irrelevant for gated members
+    assert abs(float(c2.entropy_coeff[0]) - 0.002) < 1e-9
+    assert abs(float(c2.lr[0]) - 1.5e-6) < 1e-12
+
+    # One real training step with gates drives the stage machinery
+    # end-to-end (fresh policy entropy ~5.8 -> stays in stage 0).
+    pt._stage[0] = 0
+    pt.train(max_env_steps=run.ppo.batch_size, max_seconds=None)
+    assert pt._stage[0] == 0

@@ -199,10 +199,27 @@ class PopulationTrainer:
                            float(d.get("best_ema", prev)))
             self.best_ema.append(prev)
         self._last_snap = [-(10 ** 9)] * len(members)
-        # Entropy-gated schedule stage per member.  Not persisted: after a
-        # resume, next_stage() re-derives the stage from the first
-        # iteration's measured entropy (gates are monotone).
+        # Entropy-gated schedule stage per member.  Re-derived at resume
+        # from the last LOGGED policy entropy (below), so the first
+        # post-resume iteration never runs one iteration of stage-0
+        # coefficients against a converged policy (code-review r4).
         self._stage = [0] * len(members)
+        if resume:
+            for i, m in enumerate(members):
+                if m.gates is None:
+                    continue
+                log_path = f"{out_dir}/logs/member_{i:02d}.jsonl"
+                try:
+                    last = None
+                    with open(log_path) as f:
+                        for line in f:
+                            last = line
+                    if last:
+                        ent = float(json.loads(last).get("entropy",
+                                                         float("nan")))
+                        self._stage[i] = m.next_stage(0, ent)
+                except (OSError, ValueError):
+                    pass
         # A best-EMA rise suppressed by the snapshot rate limit is
         # remembered here and flushed in train()'s finally block, so a
         # peak inside the rate-limit window is never lost to a run end or
@@ -324,7 +341,13 @@ class PopulationTrainer:
         finally:
             self._save_resume()
             for m in range(len(self.members)):
-                if self._pending_snap[m]:
+                # Flush a rate-limit-suppressed best ONLY if the member is
+                # still at (or within noise of) its peak: the flush saves
+                # CURRENT params, and overwriting the last good snapshot
+                # with a since-degraded policy would destroy the peak the
+                # flag exists to protect (code-review r4).
+                if (self._pending_snap[m]
+                        and self.ema[m] >= self.best_ema[m] - 2.0):
                     self._snapshot_best(m)
             for f in self._log_files:
                 f.close()

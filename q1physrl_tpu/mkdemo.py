@@ -246,6 +246,9 @@ def main(argv=None):
     use ``mkdemo.make_demo`` directly.
     """
     logging.basicConfig(level=logging.INFO)
+    from .algo.train import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = argv if argv is not None else sys.argv[1:]
     lockstep = "--lockstep" in argv
     argv = [a for a in argv if a != "--lockstep"]

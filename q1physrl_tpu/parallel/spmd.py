@@ -61,6 +61,13 @@ def make_spmd_train_iter(env_cfg: EnvConfig, ppo: PPOConfig, mesh,
     n_dev = mesh.size
     assert ppo.num_envs % n_dev == 0
     assert ppo.sgd_minibatch_size % n_dev == 0
+    if with_coeffs and ppo.lr_schedule is not None:
+        # inject_hyperparams re-evaluates callable (schedule) hyperparams
+        # every update, which would silently discard the runtime Coeffs.lr
+        # override; callers must strip the static schedule first (as
+        # PopulationTrainer does).
+        raise ValueError("with_coeffs=True requires ppo.lr_schedule=None "
+                         "(static lr schedule would override Coeffs.lr)")
     local_ppo = dataclasses.replace(
         ppo, num_envs=ppo.num_envs // n_dev,
         sgd_minibatch_size=max(1, ppo.sgd_minibatch_size // n_dev))

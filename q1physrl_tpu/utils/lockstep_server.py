@@ -95,9 +95,22 @@ class LockstepServer:
         await loop.create_datagram_endpoint(
             lambda: _ServerProtocol(self), local_addr=(host, port))
         self.port = self._transport.get_extra_info("sockname")[1]
+        self._resender = loop.create_task(self._resend_loop())
         return self.port
 
+    async def _resend_loop(self):
+        try:
+            while True:
+                await asyncio.sleep(0.25)
+                if self._layer is not None:
+                    self._layer.resend_pending()
+        except asyncio.CancelledError:
+            pass
+
     def close(self):
+        resender = getattr(self, "_resender", None)
+        if resender is not None:
+            resender.cancel()
         if self._transport is not None:
             self._transport.close()
 

@@ -128,6 +128,12 @@ class NetQuakePacketLayer:
         self.reliable_send_seq = 0
         self.reliable_recv_seq = 0
         self._recv_reliable_buf = b""
+        # NetQuake allows one reliable message in flight; it is resent
+        # until ACKed (net_dgrm.c resends every frame).  Callers drive the
+        # resend clock via resend_pending().
+        self._in_flight: bytes | None = None
+        self._in_flight_seq: int | None = None
+        self._pending: list[bytes] = []
 
     def send_unreliable(self, payload: bytes):
         pkt = _header(NETFLAG_UNRELIABLE | (len(payload) + 8),
@@ -137,11 +143,29 @@ class NetQuakePacketLayer:
 
     def send_reliable(self, payload: bytes):
         # Single-fragment reliable send (our messages are tiny); the
-        # engine would fragment at MAX_DATAGRAM.
+        # engine would fragment at MAX_DATAGRAM.  One in flight at a time;
+        # further sends queue until the ACK arrives.
+        if self._in_flight is not None:
+            self._pending.append(payload)
+            return
         pkt = _header(NETFLAG_DATA | NETFLAG_EOM | (len(payload) + 8),
                       self.reliable_send_seq) + payload
+        self._in_flight = pkt
+        self._in_flight_seq = self.reliable_send_seq
         self.reliable_send_seq += 1
         self.transport.sendto(pkt, self.peer)
+
+    def resend_pending(self):
+        """Retransmit the un-ACKed reliable packet, if any (lost-UDP
+        recovery; call on a timer)."""
+        if self._in_flight is not None:
+            self.transport.sendto(self._in_flight, self.peer)
+
+    def _on_ack(self, seq: int):
+        if seq == self._in_flight_seq:
+            self._in_flight = self._in_flight_seq = None
+            if self._pending:
+                self.send_reliable(self._pending.pop(0))
 
     def _ack(self, seq: int):
         self.transport.sendto(_header(NETFLAG_ACK | 8, seq), self.peer)
@@ -164,6 +188,7 @@ class NetQuakePacketLayer:
             self.unreliable_recv_seq = seq + 1
             return "unreliable", payload
         if flags & NETFLAG_ACK:
+            self._on_ack(seq)
             return "ack", b""
         if flags & NETFLAG_DATA:
             self._ack(seq)
@@ -204,6 +229,10 @@ class AsyncClient:
         self._error = None
         self._disconnected = False
         self._layer: Optional[NetQuakePacketLayer] = None
+        # Datagrams can arrive between CCREP_ACCEPT and the connect
+        # coroutine resuming to install the layer (same select batch on
+        # loopback); buffer them instead of dropping the server's signon.
+        self._pre_layer: list[bytes] = []
         self._transport = None
 
     # -- pyquake-compatible surface -------------------------------------
@@ -228,24 +257,51 @@ class AsyncClient:
         pkt = _header(NETFLAG_CTL | (len(req) + 4)) + req
         self._accept = loop.create_future()
         self._server_addr = (host, port)
-        self._transport.sendto(pkt, (host, port))
-        data_port = await asyncio.wait_for(self._accept, timeout)
+        deadline = loop.time() + timeout
+        # Handshake datagrams are as droppable as any other: re-send the
+        # connect request until accepted.
+        while not self._accept.done():
+            if loop.time() > deadline:
+                raise TimeoutError("no CCREP_ACCEPT from server")
+            self._transport.sendto(pkt, (host, port))
+            try:
+                await asyncio.wait_for(asyncio.shield(self._accept), 1.0)
+            except asyncio.TimeoutError:
+                pass
+        data_port = self._accept.result()
         self._layer = NetQuakePacketLayer(self._transport,
                                           (host, data_port))
+        for data in self._pre_layer:
+            self._on_packet(data, (host, data_port))
+        self._pre_layer.clear()
+        self._resender = asyncio.get_running_loop().create_task(
+            self._resend_loop())
         return self
+
+    async def _resend_loop(self):
+        # Retransmit un-ACKed reliables (NetQuake resends every frame;
+        # 0.25 s is plenty for the signon sequence).
+        try:
+            while not self._disconnected:
+                await asyncio.sleep(0.25)
+                if self._layer is not None:
+                    self._layer.resend_pending()
+        except asyncio.CancelledError:
+            pass
 
     def record_demo(self) -> Demo:
         demo = Demo()
         self._demos.append(demo)
         return demo
 
-    async def wait_until_spawn(self):
-        await self._spawned
+    async def wait_until_spawn(self, timeout: float = 30.0):
+        await asyncio.wait_for(asyncio.shield(self._spawned), timeout)
 
-    async def wait_for_movement(self, entity_num: int):
+    async def wait_for_movement(self, entity_num: int,
+                                timeout: float = 30.0):
         fut = asyncio.get_running_loop().create_future()
         self._moved[entity_num] = fut
-        await fut
+        await asyncio.wait_for(fut, timeout)
 
     def move(self, pitch, yaw, roll, forward, side, up, buttons, impulse):
         """Send a clc_move (CL_SendMove layout).  Angles in RADIANS for
@@ -272,6 +328,9 @@ class AsyncClient:
             w = demfile._Writer()
             w.u8(CLC_DISCONNECT)
             self._layer.send_unreliable(w.getvalue())
+        resender = getattr(self, "_resender", None)
+        if resender is not None:
+            resender.cancel()
         if self._transport is not None:
             self._transport.close()
 
@@ -292,6 +351,8 @@ class AsyncClient:
                     (port,) = struct.unpack_from("<i", data, 5)
                     if not self._accept.done():
                         self._accept.set_result(port)
+                    return
+            self._pre_layer.append(bytes(data))
             return
         kind, payload = self._layer.decode(data)
         if kind in ("unreliable", "reliable") and payload:
@@ -308,9 +369,18 @@ class AsyncClient:
                 upd = demfile._read_fast_update(r, msg)
                 ent = self.entities.setdefault(upd.entity_num,
                                                _EntityState())
+                # Engine semantics (CL_ParseUpdate): an omitted origin
+                # component resets to the entity's BASELINE, not to the
+                # previous frame's value — servers omit components within
+                # 0.1 of the baseline, so previous-frame patching would go
+                # stale.  (The demo PARSERS deliberately keep
+                # previous-frame patching instead: that is what the
+                # reference's pyquake-based parse_demo does, reference
+                # analyse.py:47-58.)
+                base = self._baselines.get(upd.entity_num, ent.origin)
                 ent.origin = tuple(
-                    o if u is None else u
-                    for o, u in zip(ent.origin, upd.origin))
+                    b if u is None else u
+                    for b, u in zip(base, upd.origin))
                 fut = self._moved.pop(upd.entity_num, None)
                 if fut is not None and not fut.done():
                     fut.set_result(None)
@@ -359,6 +429,18 @@ class AsyncClient:
                 r.string()
             elif msg == t.UPDATESTAT:
                 r.u8(); r.s32()
+            elif msg == t.VERSION:
+                r.s32()
+            elif msg == t.PARTICLE:
+                for _ in range(3):
+                    r.coord()
+                for _ in range(3):
+                    r.s8()
+                r.u8(); r.u8()
+            elif msg == t.DAMAGE:
+                r.u8(); r.u8()
+                for _ in range(3):
+                    r.coord()
             elif msg == t.SOUND:
                 demfile._skip_sound(r)
             elif msg == t.LIGHTSTYLE:

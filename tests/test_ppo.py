@@ -328,3 +328,15 @@ def test_sweep_entropy_gated_schedule(tmp_path):
     pt._stage[0] = 0
     pt.train(max_env_steps=run.ppo.batch_size, max_seconds=None)
     assert pt._stage[0] == 0
+
+
+def test_tpu_fresh_preset_matches_canonical_config():
+    """PPOConfig.tpu_fresh() and configs/run_tpu_e3.yml are the same
+    recipe — the preset is the API form, the YAML the CLI form; this
+    guards them against drifting apart."""
+    from q1physrl_tpu.algo import PPOConfig
+    from q1physrl_tpu.algo.train import load_run_config
+
+    run = load_run_config("configs/run_tpu_e3.yml")
+    preset = PPOConfig.tpu_fresh()
+    assert preset == run.ppo

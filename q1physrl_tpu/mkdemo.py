@@ -195,7 +195,8 @@ async def make_demo(checkpoint_fname, run_yaml, quakespasm_binary_fname,
     await proc.wait()
 
     times, origins, yaws, finish_time = analyse.parse_demo(demo_file_fname)
-    corrected = finish_time + DEMO_TIME_CORRECTION - times[0]
+    corrected = (finish_time + DEMO_TIME_CORRECTION - times[0]
+                 if finish_time is not None else None)
     logger.info("Corrected finish time: %s s", corrected)
     return corrected
 

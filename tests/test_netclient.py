@@ -206,3 +206,79 @@ def test_packet_layer_fragmented_reliable_reassembly():
     pkt = _header(NETFLAG_DATA | NETFLAG_EOM | (2 + 8), 1) + b"zz"
     kind, _ = rx.decode(pkt)
     assert kind is None
+
+
+def test_packet_layer_retransmission_recovers_loss():
+    """A dropped reliable packet is recovered by resend_pending(); queued
+    reliables go out in order as ACKs arrive (engine resend semantics)."""
+    from q1physrl_tpu.utils.netclient import NetQuakePacketLayer
+
+    class _Lossy:
+        def __init__(self):
+            self.sent = []
+            self.drop_next = False
+
+        def sendto(self, data, addr):
+            if self.drop_next:
+                self.drop_next = False
+                return  # the network ate it
+            self.sent.append(data)
+
+    class _Sink:
+        def __init__(self):
+            self.sent = []
+
+        def sendto(self, data, addr):
+            self.sent.append(data)
+
+    wire_tx, wire_rx = _Lossy(), _Sink()
+    tx = NetQuakePacketLayer(wire_tx, ("x", 1))
+    rx = NetQuakePacketLayer(wire_rx, ("y", 2))
+
+    wire_tx.drop_next = True
+    tx.send_reliable(b"first")       # lost on the wire
+    tx.send_reliable(b"second")      # queued behind the in-flight packet
+    assert wire_tx.sent == []
+
+    tx.resend_pending()              # timer fires -> retransmit
+    kind, payload = rx.decode(wire_tx.sent[-1])
+    assert (kind, payload) == ("reliable", b"first")
+    tx.decode(wire_rx.sent[-1])      # ACK flows back -> frees the queue
+    kind, payload = rx.decode(wire_tx.sent[-1])
+    assert (kind, payload) == ("reliable", b"second")
+
+    # Duplicate delivery of a retransmitted packet is dropped but
+    # re-ACKed (the ACK may have been the lost half).
+    n_acks = len(wire_rx.sent)
+    kind, _ = rx.decode(wire_tx.sent[-2])
+    assert kind is None
+    assert len(wire_rx.sent) == n_acks + 1
+
+
+def test_client_wait_timeouts_fail_loudly(tmp_path):
+    """Spawn/movement waits raise TimeoutError instead of hanging when the
+    server goes silent."""
+    import asyncio
+
+    from q1physrl_tpu.utils.lockstep_server import LockstepServer
+    from q1physrl_tpu.utils.netclient import AsyncClient
+
+    class _SilentServer(LockstepServer):
+        def _send_signon_1(self):
+            pass  # accept the connection, then say nothing
+
+    async def main():
+        server = _SilentServer()
+        port = await server.start("127.0.0.1", 0)
+        client = await AsyncClient.connect("127.0.0.1", port, timeout=5)
+        try:
+            try:
+                await client.wait_until_spawn(timeout=0.5)
+            except TimeoutError:
+                return True
+            return False
+        finally:
+            await client.disconnect()
+            server.close()
+
+    assert asyncio.run(main())

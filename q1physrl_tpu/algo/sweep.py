@@ -77,11 +77,24 @@ class MemberSpec:
     # 4), so entropy-space is the regime-invariant anneal coordinate the
     # way sgd_samples is the geometry-invariant one.  Stage 0's gate is
     # ignored (entry stage); stages only advance, never retreat.
+    #
+    # A stage whose coeff or lr is None follows the member's x-axis
+    # schedule instead (hybrid form, round 5): the early 0.03->0.01
+    # exploration ramp MUST ramp — holding a high coeff flat while
+    # waiting on an entropy gate self-blocks, because the high coeff is
+    # itself what keeps entropy above the gate (measured on the first
+    # round-5 gated attempt: flat 0.03 equilibrated entropy ~4.2 vs the
+    # 3.57 stage-1 gate).  Gates take over where round 4 showed sample
+    # clocks mistime: the plateau end and the late octaves.
     gates: Optional[tuple] = None
 
     def coeffs_at(self, x: float, stage: int = 0) -> tuple:
         if self.gates is not None:
             _, e, l = self.gates[stage]
+            if e is None:
+                e = _interp(self.entropy, x)
+            if l is None:
+                l = _interp(self.lr, x)
             return e, l, self.kl_target
         e = _interp(self.entropy, x)
         l = _interp(self.lr, x)
@@ -134,7 +147,8 @@ class PopulationTrainer:
                  out_dir: str, checkpoint_every: int = 1000,
                  schedule_unit: str = "env_steps",
                  ema_alpha: float = EMA_ALPHA,
-                 snapshot_min_interval: int = 25):
+                 snapshot_min_interval: int = 25,
+                 allow_dead_zone: bool = False):
         # schedule_unit sets the x-axis of every member schedule:
         #   "env_steps"   — env steps collected (the historical unit);
         #   "sgd_samples" — cumulative samples processed by SGD
@@ -160,6 +174,7 @@ class PopulationTrainer:
         # Dynamic coeffs replace the static schedules entirely.
         self.ppo = dataclasses.replace(run.ppo, lr_schedule=None,
                                        entropy_coeff_schedule=None)
+        self._check_dead_zone(len(members), self.ppo, allow_dead_zone)
         os.makedirs(f"{out_dir}/logs", exist_ok=True)
 
         states = []
@@ -170,10 +185,12 @@ class PopulationTrainer:
                 ts = ts.replace(rng=jax.random.fold_in(
                     jax.random.key(m.seed), 17))
             states.append(ts)
-        # The host schedule clock reads env_steps[0] for every member —
-        # lockstep members must share it.
-        steps = {float(ts.env_steps) for ts in states}
-        assert len(steps) == 1, f"members disagree on env_steps: {steps}"
+        # Members may disagree on env_steps (e.g. warm starts from best
+        # snapshots of a run whose members stopped at different
+        # iterations): the host schedule clock is PER MEMBER (_coeffs
+        # reads each member's own env_steps), and the stop condition is
+        # the minimum across members, so every member completes at least
+        # max_env_steps.
         self.ts = _stack(states)
 
         fn = lambda ts, c: train_iter(env_cfg, self.ppo, ts, c)
@@ -230,6 +247,37 @@ class PopulationTrainer:
         with open(f"{out_dir}/members.json", "w") as f:
             json.dump([dataclasses.asdict(m) for m in members], f, indent=2)
 
+    @staticmethod
+    def _check_dead_zone(n_members: int, ppo: PPOConfig, allow: bool):
+        """Refuse the measured population-vmap dead zone (VERDICT r4
+        item 6).
+
+        Round-4 chip measurements (docs/RESULTS.md "filling the chip"):
+        co-running P members in one vmapped program pays off when the
+        per-iteration update chain is either tiny-and-few (3-epoch
+        fresh-data regime, 18k updates/iter -> 1.55M agg steps/s) or
+        MXU-sized (mb 8192), but in the update-dominated middle (30
+        epochs x small minibatch, 92k updates/iter) the minibatch
+        kernels are too small to hide the vmapped member axis and each
+        member progresses ~4x SLOWER than it would alone (182k aggregate
+        vs 170k single).  A user sweeping the reference hyperparameters
+        at chip geometry lands exactly there, so refuse unless the sweep
+        explicitly opts in with ``allow_dead_zone: true``.
+        """
+        if n_members <= 1 or allow:
+            return
+        updates_per_iter = ppo.num_sgd_iter * (
+            ppo.batch_size // ppo.sgd_minibatch_size)
+        if ppo.sgd_minibatch_size < 4096 and updates_per_iter > 25_000:
+            raise ValueError(
+                f"population dead zone: {n_members} members x "
+                f"{updates_per_iter} updates/iter at minibatch "
+                f"{ppo.sgd_minibatch_size} is the measured ~4x-slowdown "
+                f"regime (update-dominated, sub-MXU minibatches; "
+                f"docs/RESULTS.md round 4).  Use num_sgd_iter<=3 "
+                f"(fresh-data regime), minibatch>=4096 (MXU-sized), one "
+                f"member, or set allow_dead_zone: true to override.")
+
     def _restore_stacked(self, path):
         import orbax.checkpoint as ocp
 
@@ -247,11 +295,15 @@ class PopulationTrainer:
             rng=jax.random.wrap_key_data(np.asarray(tree["rng"])),
             iteration=tree["iteration"], env_steps=tree["env_steps"])
 
-    def _coeffs(self, env_steps: float) -> Coeffs:
-        x = env_steps
+    def _coeffs(self, env_steps) -> Coeffs:
+        # Scalar (shared clock) or per-member vector of env steps: warm
+        # starts from snapshots of a run whose members stopped at
+        # different iterations give each member its own schedule clock.
+        xs = np.broadcast_to(np.asarray(env_steps, np.float64),
+                             (len(self.members),))
         if self.schedule_unit == "sgd_samples":
-            x = env_steps * self.ppo.num_sgd_iter
-        vals = [m.coeffs_at(x, self._stage[i])
+            xs = xs * self.ppo.num_sgd_iter
+        vals = [m.coeffs_at(float(xs[i]), self._stage[i])
                 for i, m in enumerate(self.members)]
         e, l, k = zip(*vals)
         f32 = lambda v: jnp.asarray(v, jnp.float32)
@@ -276,7 +328,7 @@ class PopulationTrainer:
             json.dump({"member": i, "label": self.members[i].label,
                        "iteration": int(np.asarray(self.ts.iteration)[i]),
                        "ema": self.ema[i], "best_ema": self.best_ema[i],
-                       "env_steps": float(self.ts.env_steps[0])}, f)
+                       "env_steps": float(self.ts.env_steps[i])}, f)
 
     def train(self, max_env_steps: float,
               max_seconds: Optional[float] = None):
@@ -287,15 +339,15 @@ class PopulationTrainer:
         t_start = time.time()
         steps_per_iter = self.ppo.batch_size
         try:
-            while float(np.asarray(self.ts.env_steps)[0]) < max_env_steps:
-                env_steps = float(np.asarray(self.ts.env_steps)[0])
+            while float(np.min(np.asarray(self.ts.env_steps))) < max_env_steps:
+                env_steps = np.asarray(self.ts.env_steps)
                 coeffs = self._coeffs(env_steps)
                 t0 = time.time()
                 self.ts, metrics = self._fn(self.ts, coeffs)
                 metrics = {k: np.asarray(v) for k, v in
                            jax.device_get(metrics).items()}
                 dt = time.time() - t0
-                env_steps += steps_per_iter
+                env_steps = env_steps + steps_per_iter
                 for m in range(len(self.members)):
                     self._stage[m] = self.members[m].next_stage(
                         self._stage[m], float(metrics["entropy"][m]))
@@ -306,7 +358,7 @@ class PopulationTrainer:
                         self.ema[m] = (zs if math.isnan(prev) else
                                        (1 - a) * prev + a * zs)
                     row = {k: float(v[m]) for k, v in metrics.items()}
-                    row.update(step=int(env_steps), iteration=i,
+                    row.update(step=int(env_steps[m]), iteration=i,
                                zs_ema=self.ema[m], t=time.time(),
                                entropy_coeff=float(coeffs.entropy_coeff[m]),
                                lr=float(coeffs.lr[m]),
@@ -329,7 +381,7 @@ class PopulationTrainer:
                     for f in self._log_files:
                         f.flush()
                     emas = " ".join(f"{e:7.1f}" for e in self.ema)
-                    print(f"iter {i} steps {int(env_steps):,} "
+                    print(f"iter {i} steps {int(env_steps.min()):,} "
                           f"steps/s {len(self.members) * steps_per_iter / dt:,.0f}"
                           f" ema [{emas}]", flush=True)
                 i += 1
@@ -390,6 +442,7 @@ def load_sweep(path: str):
         schedule_unit=spec.get("schedule_unit", "env_steps"),
         ema_alpha=spec.get("ema_alpha", EMA_ALPHA),
         snapshot_min_interval=spec.get("snapshot_min_interval", 25),
+        allow_dead_zone=spec.get("allow_dead_zone", False),
     )
     return (run, members, spec["out_dir"],
             float(spec.get("max_env_steps", 4e8)),

@@ -330,6 +330,93 @@ def test_sweep_entropy_gated_schedule(tmp_path):
     assert pt._stage[0] == 0
 
 
+def test_sweep_population_dead_zone_guard(tmp_path):
+    """PopulationTrainer refuses the measured population-vmap dead zone
+    (multi-member x 30-epoch x sub-MXU minibatch: ~4x per-member
+    slowdown, docs/RESULTS.md round 4) unless allow_dead_zone is set
+    (VERDICT r4 item 6)."""
+    import dataclasses
+
+    import pytest
+
+    from q1physrl_tpu import env as qenv
+    from q1physrl_tpu.algo import PPOConfig, RunConfig
+    from q1physrl_tpu.algo.sweep import MemberSpec, PopulationTrainer
+
+    env_cfg = dataclasses.replace(qenv.Config.get_default(), num_envs=None)
+    # The measured-bad regime, scaled down in env count but with the real
+    # update-chain arithmetic: 8192 envs x 96 frames, mb 256, 30 epochs
+    # -> 92k updates/iter (round-4 attempt 1, 0.7x aggregate).
+    bad = PPOConfig(num_envs=8192, rollout_length=96, num_sgd_iter=30,
+                    sgd_minibatch_size=256)
+    members = [MemberSpec(seed=1), MemberSpec(seed=2)]
+    with pytest.raises(ValueError, match="dead zone"):
+        PopulationTrainer(RunConfig(env=env_cfg, ppo=bad), members,
+                          str(tmp_path / "bad"))
+
+    # Host-side arithmetic only (no train state build) for the allowed
+    # regimes, via the guard itself:
+    check = PopulationTrainer._check_dead_zone
+    # Single member: always fine.
+    check(1, bad, False)
+    # Fresh-data regime (3 epochs, tiny-and-few updates): fine.
+    fresh = PPOConfig(num_envs=8192, rollout_length=96, num_sgd_iter=3,
+                      sgd_minibatch_size=128)
+    check(4, fresh, False)
+    # MXU-sized minibatches: fine.
+    big = PPOConfig(num_envs=8192, rollout_length=96, num_sgd_iter=30,
+                    sgd_minibatch_size=8192)
+    check(4, big, False)
+    # Reference geometry (mb 128, 30 epochs, 50k batch -> 11.7k
+    # updates/iter, the proven 189k-agg replication regime): fine.
+    ref = PPOConfig(num_envs=400, rollout_length=125, num_sgd_iter=30,
+                    sgd_minibatch_size=128)
+    check(4, ref, False)
+    # Explicit opt-in bypasses the refusal.
+    check(2, bad, True)
+
+
+def test_sweep_per_member_schedule_clock(tmp_path):
+    """Members warm-started at different env_steps keep independent
+    schedule clocks: _coeffs reads each member's own x, and train() runs
+    until the SLOWEST member reaches max_env_steps (round-5 machinery
+    for finishing a sweep whose members stopped at different points)."""
+    import dataclasses
+
+    from q1physrl_tpu import env as qenv
+    from q1physrl_tpu.algo import PPOConfig, RunConfig
+    from q1physrl_tpu.algo.sweep import MemberSpec, PopulationTrainer
+
+    run = RunConfig(
+        env=dataclasses.replace(qenv.Config.get_default(), num_envs=None),
+        ppo=PPOConfig(num_envs=16, rollout_length=8, num_sgd_iter=2,
+                      sgd_minibatch_size=32))
+    sched = ((0, 0.03), (1000, 0.01))
+    members = [MemberSpec(seed=1, entropy=sched),
+               MemberSpec(seed=2, entropy=sched)]
+    pt = PopulationTrainer(run, members, str(tmp_path / "s"))
+
+    # Per-member clocks: member 0 at x=0 (coeff 0.03), member 1 at
+    # x=1000 (coeff 0.01), in one Coeffs batch.
+    c = pt._coeffs(np.asarray([0.0, 1000.0]))
+    assert abs(float(c.entropy_coeff[0]) - 0.03) < 1e-9
+    assert abs(float(c.entropy_coeff[1]) - 0.01) < 1e-9
+
+    # Desynchronized env_steps: train() stops on the minimum, so the
+    # lagging member still completes the budget.
+    lag = 2 * run.ppo.batch_size
+    pt.ts = pt.ts.replace(env_steps=pt.ts.env_steps.at[1].add(lag))
+    pt.train(max_env_steps=3 * run.ppo.batch_size)
+    steps = np.asarray(pt.ts.env_steps)
+    assert steps[0] >= 3 * run.ppo.batch_size
+    assert steps[1] == steps[0] + lag
+    # Sidecar env_steps is the member's own value, not member 0's.
+    pt.ema = [1.0, 2.0]
+    pt._snapshot_best(1)
+    with open(f"{tmp_path}/s/best_member_01.json") as f:
+        assert json.load(f)["env_steps"] == float(steps[1])
+
+
 def test_tpu_fresh_preset_matches_canonical_config():
     """PPOConfig.tpu_fresh() and configs/run_tpu_e3.yml are the same
     recipe — the preset is the API form, the YAML the CLI form; this

@@ -10,10 +10,14 @@ Prints ONE JSON line with two metrics, each against its own baseline
   1,552 aggregate env-steps/s (i7-6700K, 4 Ray workers x 100 envs;
   BASELINE.md) — an env-only number has no reference counterpart, so the
   honest comparison for it is BASELINE.md's >=10M/s target.
-- train_steps_per_sec ("train_*" keys): the full PPO train_iter (policy
-  rollout + GAE + 30-epoch minibatch SGD) at the TPU geometry
-  (configs/params_tpu.yml).  Baseline: the same 1,552 steps/s, which IS
-  the reference's end-to-end training throughput — apples to apples.
+- train_steps_per_sec ("train_*" keys): the full PPO train_iter at the
+  PRODUCTION chip recipe — PPOConfig.tpu_fresh / configs/run_tpu_e3.yml
+  (8192 envs x 96 steps, minibatch 128, 3 SGD epochs: the fresh-data
+  regime docs/RESULTS.md measures at ~1.15M steps/s and the quality runs
+  actually use).  Baseline: the reference's end-to-end 1,552 steps/s —
+  apples to apples.  The mb-8192/30-epoch geometry the bench previously
+  headlined (configs/params_tpu.yml) is kept as the named secondary
+  train_mb8192_steps_per_sec (VERDICT r4 item 5).
 
 Diagnostics go to stderr; only the JSON line goes to stdout.
 """
@@ -96,17 +100,19 @@ def bench_env_pallas(n=1 << 20, t=720, block_envs=32768, reps=5):
     return _measure(run, state, n, t, reps, f"pallas(be={block_envs})")
 
 
-def bench_train(reps=3):
-    """End-to-end training throughput: jitted train_iter at the TPU
-    geometry (configs/params_tpu.yml: 8192 envs x 96 steps, 8192-sample
-    minibatches, 30 SGD epochs).  Uses the persistent compilation cache
-    (the same program the TPU-geometry training runs use)."""
+def bench_train(config_path="configs/run_tpu_e3.yml", label="train_iter",
+                reps=3):
+    """End-to-end training throughput: jitted train_iter at the given
+    geometry.  Default is the production fresh-data recipe
+    (configs/run_tpu_e3.yml = PPOConfig.tpu_fresh: 8192 envs x 96 steps,
+    minibatch 128, 3 SGD epochs).  Uses the persistent compilation cache
+    (the same programs the training runs use)."""
     import functools
 
     from q1physrl_tpu.algo.ppo import init_train_state, train_iter
     from q1physrl_tpu.algo.train import load_run_config
 
-    run = load_run_config("configs/params_tpu.yml")
+    run = load_run_config(config_path)
     env_cfg, ppo = run.env, run.ppo
     import dataclasses
 
@@ -119,7 +125,7 @@ def bench_train(reps=3):
     t0 = time.perf_counter()
     ts, m = fn(env_cfg, ppo, ts)
     jax.block_until_ready(m)
-    log(f"train_iter first call (incl. compile) {time.perf_counter()-t0:.1f}s")
+    log(f"{label} first call (incl. compile) {time.perf_counter()-t0:.1f}s")
     rates = []
     for i in range(reps):
         t0 = time.perf_counter()
@@ -176,9 +182,16 @@ def main():
             log(f"pallas n={n} be={be}: {type(e).__name__}: {e}")
     train_rate = None
     try:
-        train_rate = bench_train()
+        train_rate = bench_train("configs/run_tpu_e3.yml",
+                                 "train_iter[tpu_fresh]")
     except Exception as e:
         log(f"train bench failed: {type(e).__name__}: {e}")
+    train_mb8192 = None
+    try:
+        train_mb8192 = bench_train("configs/params_tpu.yml",
+                                   "train_iter[mb8192]")
+    except Exception as e:
+        log(f"train mb8192 bench failed: {type(e).__name__}: {e}")
 
     # Headline honesty (VERDICT r3 item 8): the parsed metric/vs_baseline
     # pair is the END-TO-END TRAINING throughput against the reference's
@@ -195,12 +208,24 @@ def main():
             "unit": "steps/s",
             "vs_baseline": round(train_rate / baseline, 1),
         }
-    else:  # degraded: report the env kernel, clearly labeled
+    elif train_mb8192 is not None:
+        # Fresh-recipe bench failed but the mb-8192 geometry ran: still a
+        # commensurate end-to-end figure vs the same 1,552 baseline.
+        result = {
+            "metric": "train_mb8192_steps_per_sec",
+            "value": round(train_mb8192, 1),
+            "unit": "steps/s",
+            "vs_baseline": round(train_mb8192 / baseline, 1),
+        }
+    else:  # degraded: report the env kernel, clearly labeled.  No
+        # "vs_baseline" here — its denominator would be the 10M/s kernel
+        # target, incommensurate with the train-baseline ratio a consumer
+        # tracks across runs (ADVICE r4); env_vs_10M_target below carries
+        # the ratio under its own name.
         result = {
             "metric": "env_kernel_steps_per_sec",
             "value": round(env_best, 1),
             "unit": "steps/s",
-            "vs_baseline": round(env_best / 1e7, 1),  # vs 10M/s target
         }
     result.update(
         env_kernel_steps_per_sec=round(best_pallas, 1),
@@ -213,6 +238,8 @@ def main():
     if train_rate is not None:
         result["train_steps_per_sec"] = round(train_rate, 1)
         result["train_vs_baseline"] = round(train_rate / baseline, 1)
+    if train_mb8192 is not None:
+        result["train_mb8192_steps_per_sec"] = round(train_mb8192, 1)
     # Re-sample contention AFTER the (multi-minute) benches: a trainer
     # started mid-bench degrades the numbers just as silently (ADVICE r3).
     contended = _detect_contention() or contended

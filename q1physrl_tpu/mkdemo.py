@@ -253,6 +253,10 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     lockstep = "--lockstep" in argv
     argv = [a for a in argv if a != "--lockstep"]
+    if len(argv) < 3:
+        raise SystemExit(
+            "usage: q1physrl-tpu-make-demo [--lockstep] <run.yaml> "
+            "<checkpoint_dir_or_path> <out.dem>")
     run_yaml, ckpt_path, out_dem = argv[:3]
 
     if lockstep:
@@ -260,6 +264,11 @@ def main(argv=None):
 
         times, origins, _, _ = asyncio.run(
             make_demo_lockstep(ckpt_path, run_yaml, out_dem))
+        if len(times) == 0:
+            raise SystemExit(
+                f"lockstep bridge recorded zero TIME blocks into "
+                f"{out_dem} — the oracle server died before the first "
+                f"frame; nothing to report")
         print(f"wrote {out_dem} via lockstep bridge: {len(times)} frames, "
               f"final y={origins[-1][1]:.0f}")
         return

@@ -38,7 +38,8 @@ __all__ = ("sharded_rollout_actions", "sharded_rollout_actions_autoreset",
            "sharded_rollout_random")
 
 # Max per-device grid blocks before PRNG streams could collide across
-# devices.  65536-env blocks at this stride allow 6.8 B envs per device.
+# devices.  65536-env blocks at this stride allow 100003 * 65536
+# ~= 6.55 B envs per device; sharded_rollout_random asserts the bound.
 _SEED_STRIDE = 100003
 
 
@@ -104,6 +105,16 @@ def sharded_rollout_random(cfg: Config, state: env_core.EnvState,
     replicated — psum over the mesh).
     """
     state_specs = env_axis_spec(state)
+    n_total = int(state.player.z_pos.shape[-1])
+    n_local = n_total // mesh.shape[DATA_AXIS]
+    # Per-device PRNG decorrelation is seed + axis_index * _SEED_STRIDE
+    # with one stream per kernel grid block: more than _SEED_STRIDE
+    # blocks per device would collide with the next device's streams.
+    if n_local // block_envs >= _SEED_STRIDE:
+        raise ValueError(
+            f"{n_local} envs/device at block_envs={block_envs} needs "
+            f"{n_local // block_envs} PRNG blocks >= stride {_SEED_STRIDE}"
+            f" — streams would collide across devices")
 
     def local(st):
         dev_seed = seed + jax.lax.axis_index(DATA_AXIS) * _SEED_STRIDE

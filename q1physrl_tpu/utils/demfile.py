@@ -104,6 +104,11 @@ PROTOCOL_VERSION = 15
 
 
 class _Reader:
+    """Bounds-checked message reader: every read past the end of the
+    buffer raises ValueError (mirrors the native parser's Reader::need,
+    native/demparse.cpp) so truncated or garbage streams fail cleanly
+    instead of leaking struct.error/IndexError or silently misparsing."""
+
     def __init__(self, data: bytes):
         self.b = data
         self.i = 0
@@ -111,38 +116,53 @@ class _Reader:
     def eof(self):
         return self.i >= len(self.b)
 
+    def _need(self, n: int):
+        if self.i + n > len(self.b):
+            raise ValueError(
+                f"truncated message: need {n} byte(s) at offset "
+                f"{self.i} of {len(self.b)}")
+
     def u8(self):
+        self._need(1)
         v = self.b[self.i]
         self.i += 1
         return v
 
     def s8(self):
+        self._need(1)
         v = struct.unpack_from("<b", self.b, self.i)[0]
         self.i += 1
         return v
 
     def u16(self):
+        self._need(2)
         v = struct.unpack_from("<H", self.b, self.i)[0]
         self.i += 2
         return v
 
     def s16(self):
+        self._need(2)
         v = struct.unpack_from("<h", self.b, self.i)[0]
         self.i += 2
         return v
 
     def s32(self):
+        self._need(4)
         v = struct.unpack_from("<i", self.b, self.i)[0]
         self.i += 4
         return v
 
     def f32(self):
+        self._need(4)
         v = struct.unpack_from("<f", self.b, self.i)[0]
         self.i += 4
         return v
 
     def string(self):
-        end = self.b.index(b"\x00", self.i)
+        end = self.b.find(b"\x00", self.i)
+        if end < 0:
+            raise ValueError(
+                f"unterminated string at offset {self.i} of {len(self.b)}")
         s = self.b[self.i:end].decode("latin-1")
         self.i = end + 1
         return s
@@ -250,6 +270,7 @@ def _skip_temp_entity(r: _Reader):
         size = 8
     else:
         raise ValueError(f"unhandled temp entity type {t}")
+    r._need(size)
     r.i += size
 
 
@@ -258,13 +279,19 @@ def parse_demo_messages(fname):
     with open(fname, "rb") as f:
         data = f.read()
     # CD track line.
-    nl = data.index(b"\n")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("not a demo file: missing CD-track line")
     pos = nl + 1
 
     while pos + 16 <= len(data):
         (length,) = struct.unpack_from("<i", data, pos)
-        angles = struct.unpack_from("<3f", data, pos + 4)
         start = pos + 16
+        if length < 0 or start + length > len(data):
+            raise ValueError(
+                f"bad demo block length {length} at offset {pos} "
+                f"(file size {len(data)})")
+        angles = struct.unpack_from("<3f", data, pos + 4)
         block = data[start:start + length]
         pos = start + length
         r = _Reader(block)
@@ -376,6 +403,11 @@ def parse_demo(fname):
     finish_time = None
 
     def patch(old, upd):
+        # A view-entity update can legally precede its baseline in a
+        # malformed/truncated stream; patch against a zero origin then,
+        # matching the native parser (demparse.cpp have_origin default).
+        if old is None:
+            old = (0.0, 0.0, 0.0)
         return tuple(v if u is None else u for v, u in zip(old, upd))
 
     t = ServerMessageType

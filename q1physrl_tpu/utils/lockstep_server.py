@@ -137,6 +137,14 @@ class LockstepServer:
         payload = w.getvalue()
         self._transport.sendto(_header(NETFLAG_CTL | (len(payload) + 4))
                                + payload, addr)
+        # Duplicate/late connect retransmission (the client re-sends
+        # every 1 s until accepted): answer with the existing accept but
+        # do NOT rebuild the packet layer — resetting reliable sequence
+        # state mid-signon desyncs the session.  The engine behaves the
+        # same for an already-connected address (net_dgrm.c
+        # _Datagram_CheckNewConnections).
+        if self._layer is not None and addr == self._layer.peer:
+            return
         self._layer = NetQuakePacketLayer(self._transport, addr)
         self._send_signon_1()
 

@@ -259,15 +259,21 @@ class AsyncClient:
         self._server_addr = (host, port)
         deadline = loop.time() + timeout
         # Handshake datagrams are as droppable as any other: re-send the
-        # connect request until accepted.
-        while not self._accept.done():
-            if loop.time() > deadline:
-                raise TimeoutError("no CCREP_ACCEPT from server")
-            self._transport.sendto(pkt, (host, port))
-            try:
-                await asyncio.wait_for(asyncio.shield(self._accept), 1.0)
-            except asyncio.TimeoutError:
-                pass
+        # connect request until accepted.  On timeout, close the
+        # transport we just created — the caller never sees the client
+        # object, so nobody else can release the socket.
+        try:
+            while not self._accept.done():
+                if loop.time() > deadline:
+                    raise TimeoutError("no CCREP_ACCEPT from server")
+                self._transport.sendto(pkt, (host, port))
+                try:
+                    await asyncio.wait_for(asyncio.shield(self._accept), 1.0)
+                except asyncio.TimeoutError:
+                    pass
+        except BaseException:
+            self._transport.close()
+            raise
         data_port = self._accept.result()
         self._layer = NetQuakePacketLayer(self._transport,
                                           (host, data_port))

@@ -282,3 +282,46 @@ def test_client_wait_timeouts_fail_loudly(tmp_path):
             server.close()
 
     assert asyncio.run(main())
+
+
+def test_duplicate_connect_does_not_desync_signon():
+    """A retransmitted CCREQ_CONNECT mid-session must not rebuild the
+    server's packet layer (which would reset reliable sequence state and
+    desync the signon): the engine answers a duplicate connect from a
+    connected address with the existing accept (net_dgrm.c
+    _Datagram_CheckNewConnections).  ADVICE r4."""
+    import asyncio
+    import math
+
+    from q1physrl_tpu.utils.lockstep_server import LockstepServer
+    from q1physrl_tpu.utils.netclient import (
+        CCREQ_CONNECT, GAME_NAME, NET_PROTOCOL_VERSION, NETFLAG_CTL,
+        AsyncClient, _header)
+
+    async def main():
+        server = LockstepServer()
+        port = await server.start("127.0.0.1", 0)
+        client = await AsyncClient.connect("127.0.0.1", port, timeout=10)
+        try:
+            layer_before = server._layer
+            # Late duplicate of the connect request, as the client's 1 s
+            # handshake retransmission loop would produce.
+            req = (bytes([CCREQ_CONNECT]) + GAME_NAME.encode() + b"\x00"
+                   + bytes([NET_PROTOCOL_VERSION]))
+            client._transport.sendto(
+                _header(NETFLAG_CTL | (len(req) + 4)) + req,
+                ("127.0.0.1", port))
+            await client.wait_until_spawn(timeout=30)
+            assert server._layer is layer_before, \
+                "duplicate connect rebuilt the packet layer"
+            # The session still advances frames after the duplicate.
+            for _ in range(5):
+                client.move(0.0, math.radians(90), 0.0, 800, 0, 0, 0, 0)
+                await asyncio.wait_for(
+                    client.wait_for_movement(client.view_entity), 10)
+            assert client.time is not None
+        finally:
+            await client.disconnect()
+            server.close()
+
+    asyncio.run(main())

@@ -86,11 +86,23 @@ class MemberSpec:
     # round-5 gated attempt: flat 0.03 equilibrated entropy ~4.2 vs the
     # 3.57 stage-1 gate).  Gates take over where round 4 showed sample
     # clocks mistime: the plateau end and the late octaves.
+    #
+    # A stage may carry a 4th element, an x-axis DEADLINE (in the
+    # sweep's schedule_unit): the stage engages when the measured
+    # entropy reaches its gate OR the clock reaches the deadline,
+    # whichever comes first.  Rationale (round-5 attempt 2, measured):
+    # a coefficient's equilibrium entropy depends on the data-freshness
+    # regime — flat 0.01 at the fresh-data geometry equilibrates ~1.85,
+    # ABOVE the 1.63 consensus gate, so a pure entropy gate stalls the
+    # anneal forever.  With deadlines at the recipe's own sgd_samples
+    # milestones, gates can only make stages EARLIER than the proven
+    # gradient-work trajectory (when the policy converges fast), never
+    # later (when the coefficient props entropy above the gate).
     gates: Optional[tuple] = None
 
     def coeffs_at(self, x: float, stage: int = 0) -> tuple:
         if self.gates is not None:
-            _, e, l = self.gates[stage]
+            _, e, l = self.gates[stage][:3]
             if e is None:
                 e = _interp(self.entropy, x)
             if l is None:
@@ -100,11 +112,17 @@ class MemberSpec:
         l = _interp(self.lr, x)
         return e, l, self.kl_target
 
-    def next_stage(self, stage: int, measured_entropy: float) -> int:
-        if self.gates is None or math.isnan(measured_entropy):
+    def next_stage(self, stage: int, measured_entropy: float,
+                   x: float = -math.inf) -> int:
+        if self.gates is None:
             return stage
-        while (stage + 1 < len(self.gates)
-               and measured_entropy <= self.gates[stage + 1][0]):
+        while stage + 1 < len(self.gates):
+            nxt = self.gates[stage + 1]
+            gate_hit = (not math.isnan(measured_entropy)
+                        and measured_entropy <= nxt[0])
+            deadline_hit = len(nxt) > 3 and x >= nxt[3]
+            if not (gate_hit or deadline_hit):
+                break
             stage += 1
         return stage
 
@@ -232,9 +250,12 @@ class PopulationTrainer:
                         for line in f:
                             last = line
                     if last:
-                        ent = float(json.loads(last).get("entropy",
-                                                         float("nan")))
-                        self._stage[i] = m.next_stage(0, ent)
+                        row = json.loads(last)
+                        ent = float(row.get("entropy", float("nan")))
+                        x = float(row.get("step", 0.0))
+                        if self.schedule_unit == "sgd_samples":
+                            x *= self.ppo.num_sgd_iter
+                        self._stage[i] = m.next_stage(0, ent, x)
                 except (OSError, ValueError):
                     pass
         # A best-EMA rise suppressed by the snapshot rate limit is
@@ -348,9 +369,12 @@ class PopulationTrainer:
                            jax.device_get(metrics).items()}
                 dt = time.time() - t0
                 env_steps = env_steps + steps_per_iter
+                unit = (self.ppo.num_sgd_iter
+                        if self.schedule_unit == "sgd_samples" else 1)
                 for m in range(len(self.members)):
                     self._stage[m] = self.members[m].next_stage(
-                        self._stage[m], float(metrics["entropy"][m]))
+                        self._stage[m], float(metrics["entropy"][m]),
+                        float(env_steps[m]) * unit)
                     zs = float(metrics["zero_start_total_reward_mean"][m])
                     if not math.isnan(zs):
                         prev = self.ema[m]

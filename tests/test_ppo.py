@@ -311,6 +311,20 @@ def test_sweep_entropy_gated_schedule(tmp_path):
     assert m.next_stage(2, 5.0) == 2          # never retreats
     assert m.next_stage(1, float("nan")) == 1
 
+    # Stage deadlines (round-5): a 4th element is an x-axis deadline —
+    # the stage engages at the gate OR the deadline, whichever first,
+    # so a coefficient whose equilibrium entropy sits above the gate
+    # cannot stall the anneal.
+    md = MemberSpec(seed=1, gates=((None, 0.03, 5e-6),
+                                   (3.0, 0.01, 5e-6, 100.0),
+                                   (1.5, 0.002, 1.5e-6, 500.0)))
+    assert md.next_stage(0, 4.2, x=50.0) == 0      # neither condition
+    assert md.next_stage(0, 2.9, x=50.0) == 1      # gate first
+    assert md.next_stage(0, 4.2, x=150.0) == 1     # deadline first
+    assert md.next_stage(0, 4.2, x=600.0) == 2     # deadlines cascade
+    assert md.next_stage(0, float("nan"), x=600.0) == 2  # NaN can't block
+    assert md.next_stage(2, 5.0, x=0.0) == 2       # never retreats
+
     run = RunConfig(
         env=dataclasses.replace(qenv.Config.get_default(), num_envs=None),
         ppo=PPOConfig(num_envs=16, rollout_length=8, num_sgd_iter=2,

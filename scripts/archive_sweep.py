@@ -39,6 +39,15 @@ def archive(sweep_dir: str, out_dir: str) -> list:
         if os.path.exists(src):
             shutil.copy2(src, os.path.join(out_dir, extra))
             copied.append(os.path.join(out_dir, extra))
+    # Member metric logs: the round-5 gate calibration was built from the
+    # round-4 replication logs — they are measurement data, not scratch.
+    logs_src = os.path.join(sweep_dir, "logs")
+    if os.path.isdir(logs_src):
+        logs_dst = os.path.join(out_dir, "logs")
+        if os.path.isdir(logs_dst):
+            shutil.rmtree(logs_dst)
+        shutil.copytree(logs_src, logs_dst)
+        copied.append(logs_dst)
     for src in glob.glob(os.path.join(sweep_dir, "eval_summary*.json")):
         shutil.copy2(src, os.path.join(out_dir, os.path.basename(src)))
         copied.append(os.path.join(out_dir, os.path.basename(src)))

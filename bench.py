@@ -30,6 +30,31 @@ import jax
 import jax.numpy as jnp
 
 
+import contextlib
+import signal
+
+
+@contextlib.contextmanager
+def _time_limit(seconds: float, label: str):
+    """Raise TimeoutError in the main thread after ``seconds``.
+
+    The axon tunnel can hang an RPC forever (compile or execute); an
+    unbounded hang inside a SECONDARY measurement would otherwise ride out
+    the driver's whole process timeout and discard every number already
+    measured.  SIGALRM only works in the main thread — bench runs there.
+    """
+    def _raise(signum, frame):
+        raise TimeoutError(f"{label}: exceeded {seconds}s")
+
+    prev = signal.signal(signal.SIGALRM, _raise)
+    signal.setitimer(signal.ITIMER_REAL, seconds)
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
+        signal.signal(signal.SIGALRM, prev)
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -182,14 +207,19 @@ def main():
             log(f"pallas n={n} be={be}: {type(e).__name__}: {e}")
     train_rate = None
     try:
-        train_rate = bench_train("configs/run_tpu_e3.yml",
-                                 "train_iter[tpu_fresh]")
+        with _time_limit(480, "train bench"):
+            train_rate = bench_train("configs/run_tpu_e3.yml",
+                                     "train_iter[tpu_fresh]")
     except Exception as e:
         log(f"train bench failed: {type(e).__name__}: {e}")
     train_mb8192 = None
     try:
-        train_mb8192 = bench_train("configs/params_tpu.yml",
-                                   "train_iter[mb8192]")
+        # Hard-bounded: the mb-8192 program is a SECONDARY figure, and a
+        # cold compile or wedged tunnel RPC here must not starve the
+        # already-measured headline of its print (code-review r5).
+        with _time_limit(180, "train mb8192 bench"):
+            train_mb8192 = bench_train("configs/params_tpu.yml",
+                                       "train_iter[mb8192]")
     except Exception as e:
         log(f"train mb8192 bench failed: {type(e).__name__}: {e}")
 

@@ -118,7 +118,10 @@ class MemberSpec:
             return stage
         while stage + 1 < len(self.gates):
             nxt = self.gates[stage + 1]
-            gate_hit = (not math.isnan(measured_entropy)
+            # A null gate means deadline-only (mirrors the null coeff/lr
+            # hybrid form): the stage can engage ONLY by its deadline.
+            gate_hit = (nxt[0] is not None
+                        and not math.isnan(measured_entropy)
                         and measured_entropy <= nxt[0])
             deadline_hit = len(nxt) > 3 and x >= nxt[3]
             if not (gate_hit or deadline_hit):
@@ -255,7 +258,17 @@ class PopulationTrainer:
                         x = float(row.get("step", 0.0))
                         if self.schedule_unit == "sgd_samples":
                             x *= self.ppo.num_sgd_iter
-                        self._stage[i] = m.next_stage(0, ent, x)
+                        # The logged stage is a FLOOR: logs flush every
+                        # ~20 iterations and the supervisor kills with
+                        # SIGKILL, so the last flushed row can predate a
+                        # gate engagement (or show entropy noise-bounced
+                        # back above the gate).  Stages only advance,
+                        # never retreat — re-deriving from entropy alone
+                        # could resume a converged member at a hotter
+                        # stage (code-review r5).
+                        logged = int(row.get("stage", 0))
+                        self._stage[i] = max(logged,
+                                             m.next_stage(0, ent, x))
                 except (OSError, ValueError):
                     pass
         # A best-EMA rise suppressed by the snapshot rate limit is

@@ -25,6 +25,8 @@ def archive(sweep_dir: str, out_dir: str) -> list:
     os.makedirs(out_dir, exist_ok=True)
     copied = []
     for path in sorted(glob.glob(os.path.join(sweep_dir, "best_member_*"))):
+        if path.endswith(".tmp"):
+            continue  # half-written snapshot left by a SIGKILL mid-save
         name = os.path.basename(path)
         dst = os.path.join(out_dir, name)
         if os.path.isdir(path):

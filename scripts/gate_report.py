@@ -16,8 +16,6 @@ import json
 import os
 import sys
 
-sys.path.insert(0, ".")
-
 
 def report(sweep_dir: str):
     members = json.load(open(os.path.join(sweep_dir, "members.json")))

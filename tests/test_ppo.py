@@ -344,6 +344,52 @@ def test_sweep_entropy_gated_schedule(tmp_path):
     assert pt._stage[0] == 0
 
 
+def test_sweep_gate_none_is_deadline_only(tmp_path):
+    """A null gate means deadline-only (round-5 rescue form): the stage
+    can engage only by its deadline — no -999 sentinel needed, and no
+    TypeError from comparing entropy against None (code-review r5)."""
+    from q1physrl_tpu.algo.sweep import MemberSpec
+
+    m = MemberSpec(seed=1, gates=((None, 0.03, 5e-6),
+                                  (None, 0.01, 5e-6, 100.0),
+                                  (None, 0.002, 1.5e-6, 500.0)))
+    assert m.next_stage(0, 0.0, x=50.0) == 0   # entropy can NEVER trigger
+    assert m.next_stage(0, 5.0, x=150.0) == 1  # deadline does
+    assert m.next_stage(0, 0.1, x=600.0) == 2  # deadlines cascade
+
+
+def test_sweep_resume_stage_floor(tmp_path):
+    """Resume must not retreat a gate-engaged stage: logs flush every ~20
+    iterations and the supervisor kills with SIGKILL, so the last flushed
+    row can predate an engagement (or show entropy noise-bounced above
+    the gate).  The logged 'stage' field is the floor (code-review r5)."""
+    import dataclasses
+    import json
+
+    from q1physrl_tpu import env as qenv
+    from q1physrl_tpu.algo import PPOConfig, RunConfig
+    from q1physrl_tpu.algo.sweep import MemberSpec, PopulationTrainer
+
+    run = RunConfig(
+        env=dataclasses.replace(qenv.Config.get_default(), num_envs=None),
+        ppo=PPOConfig(num_envs=16, rollout_length=8, num_sgd_iter=2,
+                      sgd_minibatch_size=32))
+    gates = ((None, 0.03, 5e-6),
+             (3.0, 0.01, 5e-6),
+             (1.5, 0.002, 1.5e-6))
+    m = MemberSpec(seed=1, gates=gates)
+    out = str(tmp_path / "rs")
+    pt = PopulationTrainer(run, [m], out, checkpoint_every=1)
+    pt.train(max_env_steps=run.ppo.batch_size, max_seconds=None)
+
+    # Simulate: stage 2 engaged after the last flush, then SIGKILL — the
+    # flushed tail row records stage 2 but an entropy ABOVE every gate.
+    with open(f"{out}/logs/member_00.jsonl", "a") as f:
+        f.write(json.dumps({"entropy": 5.5, "step": 400, "stage": 2}) + "\n")
+    pt2 = PopulationTrainer(run, [m], out, checkpoint_every=1)
+    assert pt2._stage[0] == 2
+
+
 def test_sweep_population_dead_zone_guard(tmp_path):
     """PopulationTrainer refuses the measured population-vmap dead zone
     (multi-member x 30-epoch x sub-MXU minibatch: ~4x per-member

@@ -36,7 +36,7 @@ def archive(sweep_dir: str, out_dir: str) -> list:
         else:
             shutil.copy2(path, dst)
         copied.append(dst)
-    for extra in ("members.json",):
+    for extra in ("members.json", "gate_report.json"):
         src = os.path.join(sweep_dir, extra)
         if os.path.exists(src):
             shutil.copy2(src, os.path.join(out_dir, extra))
